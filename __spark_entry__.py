@@ -1,38 +1,503 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship: the full crawl wave-loop (frontier →
+politeness → fetch-sim → extract → dedup → merge) on the ported
+TestHttpServer ring fixture and returns the fetched-documents DataFrame.
+
+``queries()`` / ``oracle_sql()`` carry the SQL-expressible operators
+from SURVEY.md §2 plus the training-data pipeline operators (dedup
+family / ANN / text analysis) over the driver's testdata tables; each
+Spark query has a value-identical DuckDB oracle (md5-based hashing keeps
+cross-engine determinism; floats are rounded).  Non-SQL-expressible ops
+(simhash UDF, LSH-bucketed ANN, media features) appear without oracles
+→ rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EN_SW = (
+    "the a an and or of to in is are was were be been it this that with for on"
+).split()
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_SW) + "]"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------------------ entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl the TestHttpServer ring end-to-end (SURVEY §3.1);
+    returns the delivered CrawlItems (fetched docs with span arrays)."""
+    from crawler import synth
+    from crawler.config import test_config
+    from crawler.loop import Crawl
+
+    pages_pd, docs_pd = synth.test_server_fixture()
+    root = tempfile.mkdtemp(prefix="crawl_wh_")
+    cfg = test_config(seed_url_seen=True, max_waves=14)
+    c = Crawl(spark, root, cfg)
+    c.init(
+        ["http://localhost:9090/crawl/1"],
+        synth.pages_df(spark, pages_pd),
+        synth.documents_df(spark, docs_pd),
+    )
+    c.run()
+    return (
+        c._read("fetched")
+        .where(F.col("status").between(200, 399))
+        .select("wave", "url", "host", "tpd", "status", "spans", "n_bytes")
+        .orderBy("wave", "fetch_ms")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_status_filter(spark, sf):
+    """F1 StatusCodeFilter semantics: keep the 2xx/3xx band of an int
+    column (StatusCodeFilter.scala:10-13)."""
+    ev = _read(spark, sf, "events")
+    return ev.where(F.col("value").between(200, 399)).select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+
+
+def _q_word_count_top25(spark, sf):
+    """P10+A1: the example-app word count with final top-25
+    (example-app/Main.scala:40-52,74-78)."""
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(25)
+    )
+
+
+def _q_crawl_stats(spark, sf):
+    """A2/S9 CrawlStats fold: count + byte sum (CrawlStats.scala:9-14)."""
+    docs = _read(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("num_fetched"),
+        F.sum("n_chars").cast("long").alias("num_bytes_fetched"),
+    )
+
+
+def _q_url_kernel(spark, sf):
+    """P4 canonicalize + P6 host/tpd over synthesized URLs."""
+    from crawler import urlnorm
+
+    docs = _read(spark, sf, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"), F.lit("/#frag"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    host = urlnorm.host_expr("url")
+    return d.select(
+        "doc_id",
+        urlnorm.canonicalize_expr("url").alias("url_canon"),
+        host.alias("host"),
+        urlnorm.tpd_expr(host).alias("tpd"),
+    )
+
+
+def _q_provenance_cap(spark, sf):
+    """withProvenance: append + keep last 10 (Requests.scala:62-65)."""
+    from crawler import urlnorm
+
+    docs = _read(spark, sf, "documents")
+    prov = F.split("text", " ")
+    capped = urlnorm.provenance_expr(prov, F.col("source"), 10)
+    return docs.select(
+        "doc_id",
+        F.size(capped).alias("prov_len"),
+        F.md5(F.concat_ws("|", capped)).alias("prov_md5"),
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    from crawler.textops import exact_dedup
+
+    return exact_dedup(_read(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    ).select("text_md5", "doc_id", "n_copies")
+
+
+def _q_dedup_first_wins(spark, sf):
+    """F2's first-wins as a windowed batch op: earliest event per user."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_minhash_words(spark, sf):
+    """Word-level MinHash signature (4 hashes) — md5 keeps both engines
+    value-identical; lexicographic min over hex digests."""
+    docs = _read(spark, sf, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+
+    def mh(i: int):
+        # NB: a two-arg lambda would make F.transform pass the array
+        # INDEX as the second arg — bind the seed via closure instead
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+        ).alias(f"mh{i}")
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), *[mh(i) for i in range(4)]
+    )
+
+
+def _q_simhash(spark, sf):
+    """SimHash fingerprints (vectorized Arrow UDF) — no SQL oracle."""
+    from crawler.textops import simhash64_udf
+
+    docs = _read(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash64_udf("text").alias("simhash"),
+    )
+
+
+def _q_ngram_jaccard_dups(spark, sf):
+    """n-gram Jaccard near-dup pairs above 0.8 among first 200 docs (the
+    quadratic verify stage; LSH prunes candidates at scale)."""
+    docs = _read(spark, sf, "documents").where("doc_id < 200")
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where("jaccard >= 0.5")
+    )
+
+
+def _q_knn_cosine(spark, sf):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (double math,
+    rounded for cross-engine stability)."""
+    emb = _read(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    from crawler.textops import cosine_expr
+
+    qc = F.array(*[F.lit(x) for x in q])
+    return (
+        emb.where("vec_id != 0")
+        .select(
+            "vec_id", F.round(cosine_expr(F.col("embedding"), qc), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_knn_lsh(spark, sf):
+    """LSH-bucketed ANN (scale path) — no SQL oracle (hyperplane lits)."""
+    from crawler.textops import knn_lsh_bucketed
+
+    emb = _read(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return knn_lsh_bucketed(emb, q, k=10, n_planes=6)
+
+
+def _q_langid(spark, sf):
+    docs = _read(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    sw = F.array(*[F.lit(w) for w in EN_SW])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def _q_quality(spark, sf):
+    docs = _read(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.greatest(F.size(toks), F.lit(1))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5 + alpha * 0.5, 6).alias(
+            "quality"
+        ),
+    )
+
+
+def _q_token_counts(spark, sf):
+    docs = _read(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.lower("text"), " ")).alias("ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("subword_est"),
+    )
+
+
+def _q_fingerprint(spark, sf):
+    docs = _read(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+        F.floor(F.length("text") / 256).cast("long").alias("len_bucket"),
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    """Catalyst agg coverage (partial+final, multiple measures)."""
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_nations(spark, sf):
+    """Broadcast-join coverage: orders ⋈ customer ⋈ nation, top by rev."""
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    n = _read(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+def _q_events_window(spark, sf):
+    """Window-function coverage: latest event per user with running count."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_media_features(spark, sf):
+    """Multimodal plumbing (mapInPandas, deterministic fake decode) —
+    no SQL oracle."""
+    from crawler.textops import media_features
+
+    docs = _read(spark, sf, "documents").limit(500)
+    refs = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    return media_features(refs).select("media_ref", "kind", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "status_filter": _q_status_filter,
+        "word_count_top25": _q_word_count_top25,
+        "crawl_stats": _q_crawl_stats,
+        "url_kernel": _q_url_kernel,
+        "provenance_cap": _q_provenance_cap,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_first_wins": _q_dedup_first_wins,
+        "minhash_words": _q_minhash_words,
+        "simhash": _q_simhash,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "langid": _q_langid,
+        "quality": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_nations": _q_top_revenue_nations,
+        "events_window": _q_events_window,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "status_filter": """
+            SELECT event_id, user_id, round(value, 4) AS value
+            FROM events WHERE value BETWEEN 200 AND 399
+        """,
+        "word_count_top25": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 25
+        """,
+        "crawl_stats": """
+            SELECT count(*) AS num_fetched,
+                   CAST(sum(n_chars) AS BIGINT) AS num_bytes_fetched
+            FROM documents
+        """,
+        "url_kernel": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     'http://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/#frag' AS url
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(url, '#[^#]*$', ''), '/$', '') AS url_canon,
+                   lower(source || '.example.com') AS host,
+                   'example.com' AS tpd
+            FROM u
+        """,
+        "provenance_cap": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_append(string_split(text, ' '), source) AS prov2
+              FROM documents
+            )
+            SELECT doc_id,
+                   least(len(prov2), 10) AS prov_len,
+                   md5(list_aggregate(prov2[greatest(len(prov2) - 9, 1):], 'string_agg', '|')) AS prov_md5
+            FROM p
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_first_wins": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "minhash_words": """
+            SELECT doc_id,
+                   min(md5('0|' || word)) AS mh0,
+                   min(md5('1|' || word)) AS mh1,
+                   min(md5('2|' || word)) AS mh2,
+                   min(md5('3|' || word)) AS mh3
+            FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS word
+                  FROM documents)
+            GROUP BY doc_id
+        """,
+        "ngram_jaccard_dups": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos_sim
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                                  w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+                             / greatest(len(string_split(lower(text), ' ')), 1) >= 0.08
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   round(least(greatest(len(string_split(lower(text), ' ')), 1) / 100.0, 1.0) * 0.5
+                         + (CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                            / greatest(len(text), 1)) * 0.5, 6) AS quality
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS ws_tokens,
+                   CAST(ceil(len(text) / 4.0) AS BIGINT) AS subword_est
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp_prefix,
+                   CAST(floor(len(text) / 256) AS BIGINT) AS len_bucket
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_nations": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC LIMIT 10
+        """,
+        "events_window": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+    }

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and the crawl-engine wave benchmark
+(the BASELINE.json target metric: URLs scheduled+deduped/sec on a
+synthetic frontier), then prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "frontier": {"urls": N, "sec": s, "urls_per_sec": r}}
+
+Scaling-efficiency evidence (N vs 4N parallelism) lives in
+``BENCH/scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _now() -> float:
+    return time.perf_counter()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = _now()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(_now() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def run_frontier_wave(spark, n_urls: int) -> dict:
+    """The target metric: one politeness+dedup wave over a synthetic
+    frontier with mega-host skew — URLs scheduled+deduped per second."""
+    from pyspark.sql import functions as F
+
+    from crawler import dedup, politeness, schemas, synth
+    from crawler.config import CrawlConfig
+
+    cfg = CrawlConfig(
+        per_domain_delay_ms=10,
+        wave_ms=10_000,  # ~1000 URLs/host budget
+        bloom_shards=64,
+        bloom_expected_insertions=max(1_000_000, n_urls),
+        skew_salt_buckets=32,
+    )
+    pend = synth.synth_frontier(spark, n_urls, n_hosts=2000, mega_share=0.2)
+    host_state = spark.createDataFrame(
+        [(t, 0, 0) for t in ["mega.com"] + [f"h{i:04d}.com" for i in range(2000)]],
+        schemas.HOST_STATE,
+    )
+    robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+    url_seen = spark.createDataFrame([], schemas.URL_SEEN)
+    bloom_df = dedup.empty_bloom_df(spark, cfg)
+
+    t0 = _now()
+    scheduled, _blocked = politeness.schedule_wave(pend, host_state, robots, cfg, 0)
+    cand = scheduled.select(
+        "url", "tpd", "host", "url_canon", "url_hash", "fetch_ms",
+        F.col("url").alias("source_url"), F.col("seq").alias("src_seq"),
+        F.lit(0).alias("link_pos"),
+        F.hash("url_canon").alias("h1"),
+        F.pmod(F.hash("tpd"), F.lit(cfg.bloom_shards)).cast("int").alias("shard_id"),
+    )
+    new = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
+    n_new = new.count()
+    sec = _now() - t0
+    return {
+        "urls": int(n_new),
+        "sec": round(sec, 3),
+        "urls_per_sec": round(n_new / sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    frontier_n = int(os.environ.get("BENCH_FRONTIER_URLS", 2_000_000))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from crawler.session import get_spark
+
+    spark = get_spark("crawler-bench", master=f"local[{cpus}]")
+    t_all = _now()
+    timings = run_queries(spark, sf_dir)
+    frontier = run_frontier_wave(spark, frontier_n)
+    total = round(_now() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query battery + frontier wave (urls scheduled+deduped)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier": frontier,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Crawl configuration.
+
+Mirrors the reference's Typesafe config surface
+(crawler-backend/src/main/resources/application.conf:17-24,
+crawler-backend/src/main/scala/Config.scala:16-25) plus the knobs our
+Spark execution model adds (wave budget, bloom sharding, skew salting).
+
+Defaults follow the reference: perDomainDelay=1500ms (prod) / 100ms
+(test profile, crawler-test/src/test/resources/application.conf:10),
+bloom 1e6 insertions @ fpp 1e-4 (DuplicateFilter.scala:17), schedule
+eviction after 100 consecutive empty polls (Frontier.scala:35).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class CrawlConfig:
+    # --- politeness (reference semantics) ---
+    per_domain_delay_ms: int = 1500
+    #: per-TPD overrides, e.g. {"linkedin.com": 1000} (application.conf:22-24)
+    domain_delays: dict[str, int] = field(default_factory=dict)
+    #: cancel a TPD's schedule after this many consecutive empty polls
+    #: (FrontierThrottler.scala:78, instantiated with 100 at Frontier.scala:35)
+    schedule_timeout_empty_polls: int = 100
+
+    # --- logical clock (replaces the reference's wall-clock timers) ---
+    #: one wave spans this many logical milliseconds; a host with delay d
+    #: may fetch at most ceil(wave_ms / d) URLs per wave, FIFO.  With
+    #: wave_ms == delay this is exactly the reference's 1-per-tick.
+    wave_ms: int = 1500
+
+    # --- URL-seen (reference bloom defaults) ---
+    bloom_expected_insertions: int = 1_000_000
+    bloom_fpp: float = 1e-4
+    #: shard count for the distributed bloom; shards are co-partitioned
+    #: with the frontier by pmod(murmur3(tpd), n_shards).  Scale knob:
+    #: at 1e10 URLs raise to ~4096 so each blob stays ~6 MB.
+    bloom_shards: int = 64
+    #: cuckoo-filter tier (deletable entries) per-shard slot count
+    cuckoo_slots_per_shard: int = 65536
+
+    # --- dedup wiring (example-app/Main.scala:32,59) ---
+    #: pre-seed URL-seen with the seed list (SimpleCrawlSpec.scala:49-50)
+    seed_url_seen: bool = True
+    #: RequestExtractor(internalOnly): keep content links only when
+    #: tpd(dest) == tpd(src) (RequestExtractor.scala:71-81)
+    same_tpd_only: bool = False
+    #: StatusCodeFilter before extraction (example-app/Main.scala:58)
+    status_filter: bool = True
+
+    # --- termination (TerminationSink.scala:28, Main.scala:37) ---
+    max_fetched: int | None = None
+    max_waves: int = 1000
+
+    # --- provenance (Requests.scala:62-65) ---
+    max_provenance: int = 10
+
+    # --- skew handling ---
+    #: candidate cap per host per wave is ceil(wave_ms/delay); the salted
+    #: pre-top-k uses this many salt buckets for mega-hosts
+    skew_salt_buckets: int = 32
+
+    # --- frontier compaction (log-structured adds/consumed) ---
+    compact_every_waves: int = 8
+
+    def delay_for(self, tpd: str) -> int:
+        return self.domain_delays.get(tpd, self.per_domain_delay_ms)
+
+    def per_wave_budget(self, tpd: str) -> int:
+        """Max URLs a TPD may fetch in one wave under the logical clock."""
+        d = self.delay_for(tpd)
+        return max(1, -(-self.wave_ms // d))  # ceil
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+#: reference test profile: 1 req / 100 ms
+#: (crawler-test/src/test/resources/application.conf:10)
+def test_config(**overrides) -> CrawlConfig:
+    base = dict(per_domain_delay_ms=100, wave_ms=100)
+    base.update(overrides)
+    return CrawlConfig(**base)

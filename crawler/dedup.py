@@ -1,0 +1,206 @@
+"""URL-seen dedup — the distributed DuplicateFilter (SURVEY.md §2.2 F2-F4).
+
+Reference: first-wins bloom dedup keyed on the raw URL string
+(DuplicateFilter.scala:16-30, buildUrlDuplicateFilter:25-30); we key on
+the canonicalized URL (UrlNormalizer semantics, adopted per north_rule)
+and must reproduce the reference's *membership set* exactly — so the
+bloom is a prefilter and an exact anti-join is the backstop:
+
+  1. within-wave first-wins: row_number over url_canon ordered by the
+     deterministic stream order (fetch_ms, source, link_pos) — the batch
+     analog of "the first stream element wins"
+  2. bloom probe, cogrouped by shard_id with the blob table: bloom-NEGATIVE
+     rows are *definitely new* (skip the expensive join entirely — at
+     web scale the vast majority of candidates); bloom-POSITIVE rows are
+     maybe-seen (true dupes + fpp·new)
+  3. exact backstop: LEFT ANTI join of only the maybe-seen rows against
+     url_seen — kills bloom false positives, so membership equality with
+     the reference holds at any fpp
+  4. tombstone override: fingerprints in the cuckoo tier are treated as
+     unseen (deletable entries / re-crawl support)
+  5. state update: append new keys to url_seen, fold them into the bloom
+     shards (cogrouped, changed shards only)
+
+Scale notes: step 2/5 shuffle by shard_id (same key as the frontier's
+storage partitioning → co-located); step 3's join input is ~(dupes +
+1e-4·new), not the full candidate set; everything else is JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+from . import bloom as B
+from . import schemas
+from .config import CrawlConfig
+from .hashing import h1_expr, h2_expr, shard_expr
+
+
+def with_url_keys(df: DataFrame, url_col: str, cfg: CrawlConfig) -> DataFrame:
+    """Attach url_canon / url_hash / h1 / shard_id (all JVM expressions)."""
+    from . import urlnorm
+
+    canon = urlnorm.canonicalize_expr(url_col)
+    host = urlnorm.host_expr(url_col)
+    tpd = urlnorm.tpd_expr(host)
+    return (
+        df.withColumn("url_canon", canon)
+        .withColumn("host", host)
+        .withColumn("tpd", tpd)
+        .withColumn("url_hash", h2_expr("url_canon"))
+        .withColumn("h1", h1_expr("url_canon"))
+        .withColumn("shard_id", shard_expr("tpd", cfg.bloom_shards))
+    )
+
+
+def empty_bloom_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    m_bits, _k = B.shard_bloom_bits(
+        cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
+    )
+    rows = [
+        (i, B.new_bloom(m_bits), B.new_cuckoo(cfg.cuckoo_slots_per_shard), 0, -1)
+        for i in range(cfg.bloom_shards)
+    ]
+    return spark.createDataFrame(rows, schemas.URL_SEEN_BLOOM)
+
+
+def _probe_schema(cand_schema: T.StructType) -> T.StructType:
+    return T.StructType(cand_schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)])
+
+
+def bloom_probe(candidates: DataFrame, bloom_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """candidates(+h1,url_hash,shard_id) → + maybe_seen.
+
+    Cogrouped by shard_id: each shard's blob moves once, candidates probe
+    it vectorized.  Cuckoo tombstones override bloom positives."""
+    m_bits, k = B.shard_bloom_bits(
+        cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
+    )
+    out_schema = _probe_schema(candidates.schema)
+
+    def probe(key, cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+        h1 = cand["h1"].to_numpy()
+        h2 = cand["url_hash"].to_numpy()
+        if len(blob) == 0:
+            maybe = pd.Series(False, index=cand.index)
+        else:
+            bl = blob.iloc[0]
+            maybe = B.bloom_contains(bytes(bl["bloom"]), h1, h2, k)
+            tomb = B.cuckoo_contains(bytes(bl["cuckoo"]), h2)
+            maybe = maybe & ~tomb
+        return cand.assign(maybe_seen=maybe)
+
+    return (
+        candidates.groupBy("shard_id")
+        .cogroup(bloom_df.groupBy("shard_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def update_bloom(
+    bloom_df: DataFrame, new_keys: DataFrame, cfg: CrawlConfig, wave: int
+) -> DataFrame:
+    """Fold new (h1, url_hash, shard_id) keys into their shard blobs.
+    Unchanged shards pass through untouched (same blob bytes)."""
+    m_bits, k = B.shard_bloom_bits(
+        cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
+    )
+
+    def fold(key, blob: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        if len(blob) == 0:
+            base_bloom = B.new_bloom(m_bits)
+            base_cuckoo = B.new_cuckoo(cfg.cuckoo_slots_per_shard)
+            n0 = 0
+        else:
+            bl = blob.iloc[0]
+            base_bloom, base_cuckoo, n0 = bytes(bl["bloom"]), bytes(bl["cuckoo"]), int(bl["n_items"])
+        if len(keys):
+            base_bloom = B.bloom_add(
+                base_bloom, keys["h1"].to_numpy(), keys["url_hash"].to_numpy(), k
+            )
+            # re-adding a key clears its tombstone: it is seen again
+            base_cuckoo = B.cuckoo_delete(base_cuckoo, keys["url_hash"].to_numpy())
+        return pd.DataFrame(
+            {
+                "shard_id": [key[0]],
+                "bloom": [base_bloom],
+                "cuckoo": [base_cuckoo],
+                "n_items": [n0 + len(keys)],
+                "wave": [wave],
+            }
+        )
+
+    keys = new_keys.select("shard_id", "h1", "url_hash")
+    return (
+        bloom_df.groupBy("shard_id")
+        .cogroup(keys.groupBy("shard_id"))
+        .applyInPandas(fold, schema=schemas.URL_SEEN_BLOOM)
+    )
+
+
+def forget_urls(bloom_df: DataFrame, keys: DataFrame, cfg: CrawlConfig, wave: int) -> DataFrame:
+    """Tombstone URLs (deletable-entry tier): insert their fingerprints
+    into the cuckoo blob so dedup treats them as unseen.  The exact
+    url_seen rows are removed at the next compaction; until then the
+    cuckoo override keeps probe results consistent."""
+
+    def fold(key, blob: pd.DataFrame, ks: pd.DataFrame) -> pd.DataFrame:
+        if len(blob) == 0:
+            return pd.DataFrame(
+                columns=["shard_id", "bloom", "cuckoo", "n_items", "wave"]
+            )
+        bl = blob.iloc[0]
+        ck = bytes(bl["cuckoo"])
+        if len(ks):
+            ck, _failed = B.cuckoo_add(ck, ks["url_hash"].to_numpy())
+        return pd.DataFrame(
+            {
+                "shard_id": [key[0]],
+                "bloom": [bytes(bl["bloom"])],
+                "cuckoo": [ck],
+                "n_items": [int(bl["n_items"])],
+                "wave": [wave],
+            }
+        )
+
+    return (
+        bloom_df.groupBy("shard_id")
+        .cogroup(keys.select("shard_id", "url_hash").groupBy("shard_id"))
+        .applyInPandas(fold, schema=schemas.URL_SEEN_BLOOM)
+    )
+
+
+def dedup_candidates(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    bloom_df: DataFrame,
+    cfg: CrawlConfig,
+    order_cols: tuple[str, ...] = ("fetch_ms", "source_url", "src_seq", "link_pos"),
+) -> DataFrame:
+    """First-wins dedup of candidate links against URL-seen.
+
+    candidates must carry url_canon/url_hash/h1/shard_id + order_cols.
+    Returns the NEW rows only (one per url_canon), in their original
+    columns (probe/bookkeeping columns dropped except h1/shard_id which
+    the caller needs for the bloom update).
+    """
+    # 1. within-wave first-wins (deterministic stream order)
+    w = Window.partitionBy("url_canon").orderBy(*[F.col(c) for c in order_cols])
+    firsts = (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # 2. bloom prefilter (cogrouped per shard)
+    probed = bloom_probe(firsts, bloom_df, cfg)
+    fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    # 3. exact backstop on the maybe-seen minority only
+    survivors = maybe.join(
+        url_seen.select("url_canon"), on="url_canon", how="left_anti"
+    )
+    return fresh.unionByName(survivors)

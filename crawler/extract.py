@@ -1,0 +1,211 @@
+"""Link extraction over interleaved span arrays (SURVEY.md §2.3 P1-P3, F5).
+
+Reference behavior (crawler-lib/src/main/scala/processors/RequestExtractor.scala):
+  P1 extractFromContent (:49-57)  — parse HTML body, take every a[href],
+     absolutize against the item's baseUri, trim, drop empties, escape
+     invalid URIs (UrlEscapers fallback :38-45); link_source='content'.
+  P2 extractFromHeaders (:59-68)  — every Location header, absolutized
+     against hostUri; link_source='location'.
+  F5 SameTPDLinkFilter (:71-81)   — when internalOnly, keep content links
+     only if tpd(dest)==tpd(src); location links always pass.
+  P3 RequestExtractor (:84-116)   — emit WrappedHttpRequest per link with
+     provenance = source.provenance :+ source.url (last 10).
+
+Spark shape: spans are exploded JVM-side (posexplode keeps document
+order), href matching is a pandas Arrow UDF using pd.Series.str.findall
+(C-level regex over the whole batch), URL resolution is vectorized with
+masked fast paths (absolute / root-relative) and a urljoin fallback for
+the rare deep-relative case.  No per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, urljoin
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import urlnorm
+
+#: a[href] with single/double-quoted value — the synthetic corpus and the
+#: reference goldens (RequestExtractorSpec.scala:29-119) are quoted; a
+#: production swap-in would be an html5 tokenizer behind this same UDF.
+_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)")"""
+
+#: chars legal in a URI — if a URL matches, pass through unchanged
+#: (already-escaped golden); else percent-escape (space→%20 golden)
+_URI_OK = re.compile(r"^[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]*$")
+_ESCAPE_SAFE = "-._~:/?#[]@!$&'()*+,;=%"
+
+_ABS_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+
+
+def escape_url(u: str) -> str:
+    """UrlEscapers fallback semantics (RequestExtractor.scala:38-45):
+    escape only when the URI is invalid; never double-escape."""
+    if _URI_OK.match(u):
+        return u
+    return quote(u, safe=_ESCAPE_SAFE)
+
+
+def resolve_link(base: str, href: str) -> str:
+    """Absolutize one href against base, reference-style."""
+    href = href.strip()
+    if not href:
+        return ""
+    return escape_url(urljoin(base, href))
+
+
+def _resolve_vec(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Vectorized resolve: masked fast paths cover ~all of a web corpus
+    (absolute links and root-relative links); deep-relative falls back to
+    urljoin row-wise."""
+    hrefs = hrefs.fillna("").str.strip()
+    out = pd.Series("", index=hrefs.index, dtype="object")
+    is_abs = hrefs.str.match(_ABS_RE.pattern)
+    out[is_abs] = hrefs[is_abs]
+    is_root = ~is_abs & hrefs.str.startswith("/") & ~hrefs.str.startswith("//")
+    if is_root.any():
+        host_uris = urlnorm.pd_host_uri(bases[is_root])
+        out[is_root] = host_uris.str.cat(hrefs[is_root])
+    rest = ~is_abs & ~is_root & (hrefs != "")
+    if rest.any():
+        out[rest] = [urljoin(b, h) for b, h in zip(bases[rest], hrefs[rest])]
+    # escape pass, vectorized gate: only rows with illegal chars re-enter python
+    bad = ~out.str.match(_URI_OK.pattern) & (out != "")
+    if bad.any():
+        out[bad] = [quote(u, safe=_ESCAPE_SAFE) for u in out[bad]]
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def find_hrefs_udf(text: pd.Series) -> pd.Series:
+    """All href values of a text span, in document order (C-level regex)."""
+    pairs = text.fillna("").str.findall(_HREF_RE)
+    return pairs.map(lambda ms: [a if a else b for a, b in ms])
+
+
+@pandas_udf(T.StringType())
+def resolve_url_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return _resolve_vec(base, href)
+
+
+@pandas_udf(T.StringType())
+def tpd_of_url_udf(url: pd.Series) -> pd.Series:
+    return urlnorm.pd_tpd(urlnorm.pd_host(url))
+
+
+#: position assigned to location-header links: content links come first
+#: in the reference's extractor output (RequestExtractor.scala:95-100)
+LOCATION_LINK_POS = 1 << 20
+
+
+def extract_links(
+    fetched: DataFrame,
+    same_tpd_only: bool = False,
+    source_cols: tuple[str, ...] = ("url", "tpd", "provenance", "seq"),
+) -> DataFrame:
+    """fetched(url, tpd, spans, location, provenance, seq, ...) →
+    links(source_cols..., dest_url, link_source, link_pos).
+
+    link_pos is the deterministic within-document order (span offset ×
+    href index; location links last) used for within-wave first-wins
+    dedup tie-breaks and frontier FIFO seq assignment.
+    """
+    src = [F.col(c) for c in source_cols]
+    base = urlnorm.base_uri_expr("url")
+
+    spans = fetched.select(
+        *src,
+        base.alias("_base"),
+        F.posexplode_outer("spans").alias("_span_pos", "_span"),
+    ).where(F.col("_span.kind") == "text")
+
+    content = (
+        spans.select(
+            *src,
+            F.col("_base"),
+            F.col("_span.offset").alias("_span_off"),
+            F.posexplode(find_hrefs_udf(F.col("_span.text"))).alias(
+                "_href_pos", "_href"
+            ),
+        )
+        .withColumn("dest_url", resolve_url_udf(F.col("_base"), F.col("_href")))
+        .where(F.col("dest_url") != "")
+        .select(
+            *src,
+            "dest_url",
+            F.lit("content").alias("link_source"),
+            (F.col("_span_off") * F.lit(4096) + F.col("_href_pos")).alias("link_pos"),
+        )
+    )
+    if same_tpd_only:
+        content = content.where(F.col("tpd") == tpd_of_url_udf(F.col("dest_url")))
+
+    location = (
+        fetched.where(F.col("location").isNotNull() & (F.col("location") != ""))
+        .select(
+            *src,
+            resolve_url_udf(urlnorm.host_uri_expr("url"), F.col("location")).alias(
+                "dest_url"
+            ),
+            F.lit("location").alias("link_source"),
+            F.lit(LOCATION_LINK_POS).alias("link_pos"),
+        )
+        .where(F.col("dest_url") != "")
+    )
+    return content.unionByName(location)
+
+
+def extract_media_refs(fetched: DataFrame) -> DataFrame:
+    """Multimodal sidecar: one row per media span — (doc_id, url,
+    media_ref, offset).  Decode/feature-extraction stages plug in behind
+    this as mapInPandas over the binary refs (see textops.media_stub)."""
+    return (
+        fetched.select(
+            "doc_id", "url", F.posexplode("spans").alias("_pos", "_span")
+        )
+        .where(F.col("_span.kind") == "media")
+        .select(
+            "doc_id",
+            "url",
+            F.col("_span.media_ref").alias("media_ref"),
+            F.col("_span.offset").alias("offset"),
+        )
+    )
+
+
+# scalar twin for the oracle --------------------------------------------------
+
+_HREF_SCALAR_RE = re.compile(_HREF_RE)
+
+
+def py_extract_links(
+    url: str,
+    spans: list[dict],
+    location: str | None,
+    same_tpd_only: bool = False,
+) -> list[tuple[str, str, int]]:
+    """Single-doc extraction, identical semantics — (dest, source, pos)."""
+    base = re.sub(r"[?#].*$", "", url)
+    out: list[tuple[str, str, int]] = []
+    for span in spans or []:
+        if span["kind"] != "text":
+            continue
+        for i, m in enumerate(_HREF_SCALAR_RE.finditer(span["text"] or "")):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            dest = resolve_link(base, href)
+            if not dest:
+                continue
+            if same_tpd_only and urlnorm.tpd_of(dest) != urlnorm.tpd_of(url):
+                continue
+            out.append((dest, "content", span["offset"] * 4096 + i))
+    if location:
+        m = re.match(urlnorm._HOSTURI_RE, url)
+        host_uri = m.group(1) if m else url
+        dest = resolve_link(host_uri, location)
+        if dest:
+            out.append((dest, "location", LOCATION_LINK_POS))
+    return out

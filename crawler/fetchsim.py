@@ -1,0 +1,106 @@
+"""Network-free fetch stage (SURVEY.md §2.6 O5, §2.1 S11).
+
+The reference fetches with async Spray HTTP
+(CrawlServiceLike.scala:117-131); its tests replace that with a
+deterministic local HTTP server (TestHttpServer.scala:18-44) / a canned
+MockCrawler (MockCrawler.scala:14-17).  This sandbox has no network, so
+the fetch stage is a JOIN of the wave's scheduled batch against the
+synthetic web (`pages` + `documents_spans`), reproducing the test
+server's routing exactly:
+
+  - url found in pages        → that page's status/location/doc spans
+  - url on a known host but   → 200 "OK!" (the server's default route,
+    no matching route            TestHttpServer.scala:45)
+  - unknown host              → status 0 (connection failure; dropped by
+                                 the status filter, still consumed)
+
+The stage is pluggable: a real fetcher is a mapInPandas over the same
+scheduled batch (async HTTP inside the Arrow batch), same output schema.
+Catalyst picks broadcast vs sort-merge for the join by size — at test
+scale the web fixture broadcasts; gzip/deflate decode (P9) is parquet's
+job here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+def _ok_spans():
+    """Spans literal for the default "OK!" route (lazy: Column literals
+    need an active SparkContext)."""
+    return F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("OK!").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+
+
+def span_bytes_expr(spans_col):
+    """Logical payload size: sum of span text+media_ref lengths — the
+    CrawlStats byte accounting (CrawlStats.scala:9-14)."""
+    return F.aggregate(
+        F.coalesce(spans_col, F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.length(s["text"]), F.lit(0))
+        + F.coalesce(F.length(s["media_ref"]), F.lit(0)),
+    )
+
+
+def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataFrame:
+    """scheduled(url, ..., fetch_ms) → FETCHED rows (schemas.FETCHED)."""
+    web = pages.join(documents, on="doc_id", how="left").select(
+        F.col("url").alias("_page_url"),
+        F.col("status").alias("_status"),
+        F.col("location").alias("_location"),
+        F.col("doc_id").alias("_doc_id"),
+        F.col("spans").alias("_spans"),
+    )
+    known_hosts = pages.select(F.col("host").alias("_khost")).distinct()
+
+    j = scheduled.join(
+        web, scheduled["url"] == web["_page_url"], how="left"
+    ).join(
+        F.broadcast(known_hosts),
+        scheduled["host"] == F.col("_khost"),
+        how="left",
+    )
+
+    hit = F.col("_page_url").isNotNull()
+    host_known = F.col("_khost").isNotNull()
+    status = (
+        F.when(hit, F.col("_status"))
+        .when(host_known, F.lit(200))  # default route "OK!"
+        .otherwise(F.lit(0))  # connection failure
+    )
+    span_type = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    spans = (
+        F.when(hit, F.col("_spans"))
+        .when(host_known, _ok_spans())
+        .otherwise(F.lit(None).cast(span_type))
+    )
+
+    return j.select(
+        F.lit(None).cast("int").alias("wave"),  # filled by the loop
+        F.col("url"),
+        F.col("url_canon"),
+        F.col("host"),
+        F.col("tpd"),
+        F.col("fetch_ms"),
+        F.col("seq"),
+        status.cast("int").alias("status"),
+        F.when(hit, F.col("_location")).alias("location"),
+        F.when(hit, F.col("_doc_id")).alias("doc_id"),
+        spans.alias("spans"),
+        F.col("provenance"),
+        span_bytes_expr(spans).alias("n_bytes"),
+    )
+
+
+def status_filter(fetched: DataFrame) -> DataFrame:
+    """F1 StatusCodeFilter (StatusCodeFilter.scala:10-13): keep 2xx+3xx,
+    drop 4xx/5xx/unknown."""
+    return fetched.where(F.col("status").between(200, 399))

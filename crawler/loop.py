@@ -1,0 +1,293 @@
+"""The [DRV] wave loop — the crawl lifecycle (SURVEY.md §3.1).
+
+One *wave* = one batch pass of the reference's steps 2-7:
+
+    frontier snapshot → politeness-filtered fetch batch [applyInPandas]
+    → fetch-sim join → status filter → link extraction over spans [AUDF]
+    → dedupe vs URL-seen [bloom cogroup + exact anti-join]
+    → frontier merge → atomic catalog commit (all tables at once)
+
+Iteration lives on the driver (idiomatic Spark — Catalyst has no
+iteration), termination is the TerminationSink predicate over the
+accumulated CrawlStats (TerminationSink.scala:9-31: stop when
+numFetched ≥ N) plus frontier exhaustion.
+
+Resume exactness (north_rule): every wave reads tables at the versions
+named by the LAST catalog commit and stages appends against those same
+versions, then publishes one atomic catalog swap.  A kill at any point
+leaves either the old commit or the new one — never a mix; orphaned
+staged files are invisible.  Pending-frontier size is manifest
+arithmetic (adds.rows − consumed.rows), no count job needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import dedup, extract, fetchsim, frontier, lineage, politeness, schemas
+from .config import CrawlConfig
+from .warehouse import Warehouse
+
+TABLES = {
+    "frontier_adds": schemas.FRONTIER,
+    "frontier_consumed": schemas.CONSUMED,
+    "url_seen": schemas.URL_SEEN,
+    "url_seen_bloom": schemas.URL_SEEN_BLOOM,
+    "host_state": schemas.HOST_STATE,
+    "fetched": schemas.FETCHED,
+    "lineage": schemas.LINEAGE,
+    "pages": schemas.PAGES,
+    "documents_spans": schemas.DOCUMENTS_SPANS,
+    "robots_cache": schemas.ROBOTS_CACHE,
+}
+
+
+@dataclass
+class WaveMetrics:
+    wave: int
+    scheduled: int = 0
+    delivered: int = 0
+    bytes_fetched: int = 0
+    extracted: int = 0
+    emitted: int = 0
+    robots_blocked: int = 0
+    pending_after: int = 0
+
+
+class Crawl:
+    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.wh = Warehouse(root)
+
+    # ------------------------------------------------------------- setup
+
+    def _t(self, name):
+        return self.wh.table(name, TABLES[name])
+
+    def _read(self, name) -> DataFrame:
+        return self.wh.read_committed(self.spark, name, TABLES[name])
+
+    def init(
+        self,
+        seeds: list[str],
+        pages: DataFrame,
+        documents: DataFrame,
+        robots: DataFrame | None = None,
+    ) -> None:
+        """Wave -1: install the web fixture, seeds, empty state; commit."""
+        cfg, spark = self.cfg, self.spark
+        versions = {
+            "pages": self._t("pages").overwrite(pages),
+            "documents_spans": self._t("documents_spans").overwrite(documents),
+            "frontier_adds": self._t("frontier_adds").overwrite(
+                frontier.seeds_df(spark, seeds, cfg)
+            ),
+            "frontier_consumed": self._t("frontier_consumed").overwrite(
+                spark.createDataFrame([], schemas.CONSUMED)
+            ),
+            "host_state": self._t("host_state").overwrite(
+                spark.createDataFrame([], schemas.HOST_STATE)
+            ),
+            "fetched": self._t("fetched").overwrite(
+                spark.createDataFrame([], schemas.FETCHED)
+            ),
+            "lineage": self._t("lineage").overwrite(
+                spark.createDataFrame([], schemas.LINEAGE)
+            ),
+            "robots_cache": self._t("robots_cache").overwrite(
+                robots
+                if robots is not None
+                else spark.createDataFrame([], schemas.ROBOTS_CACHE)
+            ),
+        }
+        bloom0 = dedup.empty_bloom_df(spark, cfg)
+        if cfg.seed_url_seen:
+            # the reference seeds its dup filter with the seed list
+            # (SimpleCrawlSpec.scala:49-50, example-app/Main.scala:32)
+            seed_keys = dedup.with_url_keys(
+                frontier.seeds_df(spark, seeds, cfg).select("url"), "url", cfg
+            )
+            versions["url_seen"] = self._t("url_seen").overwrite(
+                seed_keys.select(
+                    "url_canon", "url_hash", F.lit(0).cast("int").alias("wave")
+                ).dropDuplicates(["url_canon"])
+            )
+            bloom0 = dedup.update_bloom(
+                bloom0, seed_keys.dropDuplicates(["url_canon"]), cfg, -1
+            )
+        else:
+            versions["url_seen"] = self._t("url_seen").overwrite(
+                spark.createDataFrame([], schemas.URL_SEEN)
+            )
+        versions["url_seen_bloom"] = self._t("url_seen_bloom").overwrite(bloom0)
+        self.wh.catalog.commit(
+            -1, versions, config=cfg.to_dict(), stats={"fetched": 0, "bytes": 0}
+        )
+
+    # -------------------------------------------------------------- wave
+
+    def pending_count(self) -> int:
+        cat = self.wh.catalog
+        return self._t("frontier_adds").rows(
+            cat.version_of("frontier_adds")
+        ) - self._t("frontier_consumed").rows(cat.version_of("frontier_consumed"))
+
+    def run_wave(self, wave: int) -> WaveMetrics:
+        cfg, spark, cat = self.cfg, self.spark, self.wh.catalog
+        m = WaveMetrics(wave=wave)
+
+        adds = self._read("frontier_adds")
+        consumed = self._read("frontier_consumed")
+        url_seen = self._read("url_seen")
+        bloom_df = self._read("url_seen_bloom")
+        host_state = self._read("host_state")
+        robots = self._read("robots_cache")
+        pages = self._read("pages")
+        documents = self._read("documents_spans")
+
+        pend = frontier.pending(adds, consumed)
+        scheduled, blocked = politeness.schedule_wave(pend, host_state, robots, cfg, wave)
+        scheduled = scheduled.persist()
+        blocked = blocked.persist()
+        m.scheduled = scheduled.count()
+        m.robots_blocked = blocked.count()
+
+        # ---- fetch + deliver
+        fetched_raw = (
+            fetchsim.fetch(scheduled, pages, documents)
+            .withColumn("wave", F.lit(wave).cast("int"))
+            .persist()
+        )
+        delivered = fetched_raw.where(F.col("status") > 0)
+        if cfg.status_filter:
+            delivered = fetchsim.status_filter(delivered)
+        delivered = delivered.persist()
+        agg = delivered.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("b")
+        ).collect()[0]
+        m.delivered, m.bytes_fetched = int(agg["n"]), int(agg["b"])
+
+        # ---- extract (P1-P3, F5) with the deterministic stream order key
+        links_raw = extract.extract_links(
+            delivered,
+            same_tpd_only=cfg.same_tpd_only,
+            source_cols=("url", "tpd", "provenance", "seq", "fetch_ms"),
+        )
+        cand = (
+            links_raw.withColumnRenamed("url", "source_url")
+            .withColumnRenamed("seq", "src_seq")
+            .withColumnRenamed("tpd", "src_tpd")
+        )
+        cand = dedup.with_url_keys(cand, "dest_url", cfg).persist()
+        m.extracted = cand.count()
+
+        # ---- dedupe vs URL-seen (F2-F4)
+        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg).persist()
+        m.emitted = new_links.count()
+
+        # ---- stage all table versions against COMMITTED bases
+        base = cat.state()["tables"]
+        new_rows = frontier.links_to_frontier(new_links, cfg, wave)
+        versions = {
+            "frontier_adds": self._t("frontier_adds").append(
+                new_rows, base_version=base.get("frontier_adds", 0)
+            ),
+            "frontier_consumed": self._t("frontier_consumed").append(
+                frontier.consumed_keys(scheduled, wave).unionByName(
+                    frontier.consumed_keys(blocked, wave)
+                ),
+                base_version=base.get("frontier_consumed", 0),
+            ),
+            "url_seen": self._t("url_seen").append(
+                new_links.select(
+                    "url_canon", "url_hash", F.lit(wave).cast("int").alias("wave")
+                ),
+                base_version=base.get("url_seen", 0),
+            ),
+            "url_seen_bloom": self._t("url_seen_bloom").overwrite(
+                dedup.update_bloom(bloom_df, new_links, cfg, wave)
+            ),
+            "fetched": self._t("fetched").append(
+                fetched_raw, base_version=base.get("fetched", 0)
+            ),
+            "lineage": self._t("lineage").append(
+                lineage.wave_lineage(
+                    spark, cfg, wave, scheduled, delivered, cand, new_links
+                ),
+                base_version=base.get("lineage", 0),
+            ),
+        }
+
+        # pending after this wave = (pend − consumed_this_wave) ∪ new rows
+        consumed_now = frontier.consumed_keys(scheduled, wave).unionByName(
+            frontier.consumed_keys(blocked, wave)
+        )
+        pending_after = frontier.pending(pend, consumed_now).unionByName(new_rows)
+        versions["host_state"] = self._t("host_state").overwrite(
+            politeness.next_host_state(host_state, pending_after, scheduled, cfg, wave)
+        )
+
+        # ---- periodic compaction bounds the anti-join (R8 analog)
+        if cfg.compact_every_waves and (wave + 1) % cfg.compact_every_waves == 0:
+            versions["frontier_adds"] = self._t("frontier_adds").overwrite(
+                self._t("frontier_adds").read(spark, versions["frontier_adds"]).join(
+                    self._t("frontier_consumed")
+                    .read(spark, versions["frontier_consumed"])
+                    .select("url_canon", "wave_added", "seq"),
+                    on=["url_canon", "wave_added", "seq"],
+                    how="left_anti",
+                )
+            )
+            versions["frontier_consumed"] = self._t("frontier_consumed").overwrite(
+                spark.createDataFrame([], schemas.CONSUMED)
+            )
+
+        # ---- one atomic commit for the whole wave
+        st = cat.state()["stats"]
+        self.wh.catalog.commit(
+            wave,
+            versions,
+            stats={
+                "fetched": st.get("fetched", 0) + m.delivered,
+                "bytes": st.get("bytes", 0) + m.bytes_fetched,
+            },
+        )
+        m.pending_after = self.pending_count()
+
+        for df in (scheduled, blocked, fetched_raw, delivered, cand, new_links):
+            df.unpersist()
+        return m
+
+    # --------------------------------------------------------------- run
+
+    def run(self, quiet: bool = True) -> list[WaveMetrics]:
+        """Run waves until frontier exhaustion / termination predicate."""
+        cfg = self.cfg
+        start = self.wh.catalog.state()["wave"] + 1
+        out: list[WaveMetrics] = []
+        stall = 0
+        for w in range(start, cfg.max_waves):
+            stats = self.wh.catalog.state()["stats"]
+            if cfg.max_fetched is not None and stats["fetched"] >= cfg.max_fetched:
+                break  # TerminationSink predicate
+            if self.pending_count() <= 0:
+                break
+            m = self.run_wave(w)
+            out.append(m)
+            if not quiet:
+                print(
+                    f"wave={w} scheduled={m.scheduled} delivered={m.delivered} "
+                    f"extracted={m.extracted} emitted={m.emitted} pending={m.pending_after}"
+                )
+            # a wave that schedules nothing and adds nothing only advances
+            # the clock; bail if that repeats past every host's delay span
+            stall = stall + 1 if (m.scheduled == 0 and m.emitted == 0) else 0
+            max_delay = max(
+                [cfg.per_domain_delay_ms, *cfg.domain_delays.values()]
+            )
+            if stall > max(2, -(-max_delay // cfg.wave_ms) + 1):
+                break
+        return out

@@ -1,0 +1,222 @@
+"""Single-threaded reference-semantics oracle (SURVEY.md §5).
+
+A tiny in-memory crawler implementing EXACTLY the semantics the Spark
+engine must reproduce — per-TPD FIFO queues, the discrete politeness
+clock, first-wins dedup, deterministic within-wave ordering — used by
+the e2e tests to assert per-host crawl order, URL-seen membership and
+span-sequence equality (the BASELINE.json correctness gate).
+
+It shares the *scalar* kernels (canonicalize/tpd/extract) with the
+engine's UDFs so both sides implement one pinned spec; the golden unit
+vectors from the reference's specs (RequestExtractorSpec,
+DuplicateFilterSpec, HttpRequestSpec) pin that spec to the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from . import extract, urlnorm
+from .config import CrawlConfig
+
+
+@dataclass
+class ORow:
+    url: str
+    url_canon: str
+    tpd: str
+    host: str
+    priority: float
+    seq: int
+    not_before_wave: int
+    provenance: tuple[str, ...] = ()
+
+
+@dataclass
+class OState:
+    next_allowed: int
+    empty_polls: int = 0
+
+
+@dataclass
+class OracleResult:
+    #: per-host ordered fetch log: host → [(wave, fetch_ms, url), ...]
+    order_per_host: dict[str, list[tuple[int, int, str]]] = field(default_factory=dict)
+    url_seen: set[str] = field(default_factory=set)
+    #: url → span list of the fetched doc (kind, text, media_ref, offset)
+    fetched_spans: dict[str, list[tuple]] = field(default_factory=dict)
+    delivered: int = 0
+    bytes_fetched: int = 0
+    robots_blocked: list[str] = field(default_factory=list)
+    waves: int = 0
+
+
+class Oracle:
+    def __init__(
+        self,
+        pages: pd.DataFrame,
+        documents: pd.DataFrame,
+        cfg: CrawlConfig,
+        robots: dict[str, list[str]] | None = None,
+    ):
+        self.cfg = cfg
+        self.pages = {
+            r.url: (int(r.status), r.location, r.doc_id)
+            for r in pages.itertuples()
+        }
+        self.known_hosts = set(pages["host"])
+        self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
+        self.robots = robots or {}
+
+    def run(self, seeds: list[str]) -> OracleResult:
+        cfg = self.cfg
+        res = OracleResult()
+        queues: dict[str, list[ORow]] = {}
+        state: dict[str, OState] = {}
+
+        def enqueue(row: ORow) -> None:
+            queues.setdefault(row.tpd, []).append(row)
+
+        for i, u in enumerate(seeds):
+            host = urlnorm.host_of(u)
+            enqueue(
+                ORow(u, urlnorm.canonicalize(u), urlnorm.tpd_of(u), host, 0.0, i, 0)
+            )
+        if cfg.seed_url_seen:
+            res.url_seen |= {urlnorm.canonicalize(u) for u in seeds}
+
+        total_delivered = 0
+        for w in range(cfg.max_waves):
+            if cfg.max_fetched is not None and total_delivered >= cfg.max_fetched:
+                break
+            if not any(queues.values()):
+                break
+            win_start, win_end = w * cfg.wave_ms, (w + 1) * cfg.wave_ms
+            fetch_log: list[tuple[int, ORow]] = []  # (fetch_ms, row)
+
+            for tpd in sorted(queues):  # per-host independence; sort = determinism
+                rows = queues[tpd]
+                eligible = [r for r in rows if r.not_before_wave <= w]
+                if not eligible:
+                    continue
+                # robots (applied to every eligible row this wave)
+                allowed, blocked = [], []
+                for r in eligible:
+                    prefixes = self.robots.get(r.host)
+                    path = "/" + r.url.split("://", 1)[1].split("/", 1)[1] if "/" in r.url.split("://", 1)[1] else "/"
+                    if prefixes and any(path.startswith(p) for p in prefixes):
+                        blocked.append(r)
+                    else:
+                        allowed.append(r)
+                for r in blocked:
+                    rows.remove(r)
+                    res.robots_blocked.append(r.url)
+                delay = cfg.delay_for(tpd)
+                st = state.get(tpd)
+                t = max(st.next_allowed, win_start) if st else win_start + delay
+                allowed.sort(key=lambda r: (-r.priority, r.seq))
+                emitted = []
+                for r in allowed:
+                    if t >= win_end:
+                        break
+                    emitted.append((t, r))
+                    t += delay
+                for ft, r in emitted:
+                    rows.remove(r)
+                    fetch_log.append((ft, r))
+                if emitted:
+                    state[tpd] = OState(t, st.empty_polls if st else 0)
+
+            # fetch + deliver
+            delivered_items = []
+            for ft, r in sorted(fetch_log, key=lambda x: (x[0], x[1].url, x[1].seq)):
+                page = self.pages.get(r.url)
+                if page is not None:
+                    status, location, doc_id = page
+                    spans = self.docs.get(doc_id, []) if doc_id else []
+                elif r.host in self.known_hosts:
+                    status, location, doc_id = 200, None, None
+                    spans = [{"kind": "text", "text": "OK!", "media_ref": "", "offset": 0}]
+                else:
+                    status, location, doc_id, spans = 0, None, None, None
+                res.order_per_host.setdefault(r.host, []).append((w, ft, r.url))
+                if status <= 0:
+                    continue
+                if self.cfg.status_filter and not (200 <= status < 400):
+                    continue
+                n_bytes = sum(
+                    len(s.get("text") or "") + len(s.get("media_ref") or "")
+                    for s in (spans or [])
+                )
+                res.delivered += 1
+                res.bytes_fetched += n_bytes
+                total_delivered += 1
+                res.fetched_spans[r.url] = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in (spans or [])
+                ]
+                delivered_items.append((ft, r, spans, location))
+
+            # extract with the deterministic stream-order key
+            candidates = []  # (fetch_ms, source_url, src_seq, link_pos, dest, src_row)
+            for ft, r, spans, location in delivered_items:
+                for dest, src_kind, pos in extract.py_extract_links(
+                    r.url, spans or [], location, self.cfg.same_tpd_only
+                ):
+                    candidates.append((ft, r.url, r.seq, pos, dest, r))
+            candidates.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
+
+            # first-wins dedup vs wave-start URL-seen, then within wave
+            new_rows: list[tuple] = []
+            chosen = set()
+            for ft, src_url, src_seq, pos, dest, src in candidates:
+                canon = urlnorm.canonicalize(dest)
+                if canon in res.url_seen or canon in chosen:
+                    continue
+                chosen.add(canon)
+                new_rows.append((ft, src_url, src_seq, pos, dest, canon, src))
+            res.url_seen |= chosen
+
+            # frontier merge: per-host rank in discovery order
+            by_host: dict[str, list] = {}
+            for item in new_rows:
+                h = urlnorm.host_of(item[4])
+                by_host.setdefault(h, []).append(item)
+            for h, items in by_host.items():
+                items.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
+                for rank, (ft, src_url, src_seq, pos, dest, canon, src) in enumerate(
+                    items, start=1
+                ):
+                    prov = (list(src.provenance) + [src.url])[-self.cfg.max_provenance:]
+                    enqueue(
+                        ORow(
+                            dest, canon, urlnorm.tpd_of(dest), h, 0.0,
+                            ((w + 1) << 32) + rank, w + 1, tuple(prov),
+                        )
+                    )
+
+            # host-state bookkeeping: empty polls + eviction + new schedules
+            ticks = lambda tpd: max(1, -(-cfg.wave_ms // cfg.delay_for(tpd)))
+            scheduled_tpds = {r.tpd for _, r in fetch_log}
+            for tpd in list(state):
+                if tpd in scheduled_tpds:
+                    continue
+                if queues.get(tpd):
+                    # queue nonempty, nothing emitted: clock clamp only
+                    state[tpd].next_allowed = max(state[tpd].next_allowed, win_start)
+                    continue
+                state[tpd].empty_polls += ticks(tpd)
+                state[tpd].next_allowed = max(state[tpd].next_allowed, win_start)
+                if state[tpd].empty_polls >= cfg.schedule_timeout_empty_polls:
+                    del state[tpd]  # schedule cancelled
+            for tpd, rows in queues.items():
+                if rows and tpd not in state:
+                    # schedule (re)created this wave, first tick one interval out
+                    state[tpd] = OState(win_start + cfg.delay_for(tpd))
+
+            res.waves = w + 1
+            # drop empty queues lazily
+            queues = {k: v for k, v in queues.items() if v}
+        return res

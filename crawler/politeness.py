@@ -1,0 +1,201 @@
+"""Per-TPD politeness scheduler (SURVEY.md §2.6 O1-O4).
+
+Reference semantics (RabbitThrottler.scala:59-66,94-111,
+FrontierThrottler.scala:22-48,64-82):
+  - one durable FIFO queue per topPrivateDomain
+  - a repeating timer per TPD: first tick one `interval` after the
+    schedule is created (addSchedule(key, delay=interval, interval)),
+    then every `interval`; each tick dequeues EXACTLY ONE message
+  - interval = customDomainDelays.get(tpd) | perDomainDelay
+  - an empty tick increments a CUMULATIVE per-TPD counter (never reset,
+    FrontierThrottler.scala:76-82); at `scheduleTimeout` the schedule is
+    cancelled; the next incoming request re-creates it (fresh initial
+    delay)
+
+Spark shape — a logical clock replaces wall time (deterministic,
+cluster-size-invariant): wave w spans [w·wave_ms, (w+1)·wave_ms).  Per
+TPD, the scheduler emits FIFO-next rows at fetch_ms = max(next_allowed,
+win_start), +delay per row, while fetch_ms < win_end.  With wave_ms ==
+delay this is exactly the reference's one-per-tick.
+
+Skew story (north_rule): the per-TPD group only ever needs its top-K
+candidates (K = ceil(wave_ms/delay)), so a mega-host never funnels its
+millions of pending rows into one pandas group — a SALTED two-phase
+top-k (partition (tpd, pmod(seq,S)) → top-K per salt → top-K per tpd)
+prunes first.  Any true top-K row is top-K within its salt bucket, so
+the prune is lossless.  AQE skew-join splitting stays on for the joins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+from . import schemas
+from .config import CrawlConfig
+
+#: scheduler output = frontier row + fetch timestamp
+SCHEDULED = T.StructType(
+    schemas.FRONTIER.fields
+    + [
+        T.StructField("delay_ms", T.IntegerType(), False),
+        T.StructField("fetch_ms", T.LongType(), False),
+    ]
+)
+
+_FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+def delay_expr(tpd_col: str, cfg: CrawlConfig):
+    """interval = customDomainDelays.get(tpd) | perDomainDelay
+    (FrontierThrottler.scala:42) — as a JVM expression."""
+    c = F.col(tpd_col)
+    if not cfg.domain_delays:
+        return F.lit(cfg.per_domain_delay_ms)
+    pairs = []
+    for k, v in sorted(cfg.domain_delays.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    return F.coalesce(m.getItem(c), F.lit(cfg.per_domain_delay_ms)).cast("int")
+
+
+def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) by robots.txt disallow prefixes — pure JVM
+    (left join on host + EXISTS over the prefix array)."""
+    r = robots.select("host", "disallow_prefixes")
+    joined = pending.join(F.broadcast(r), on="host", how="left")
+    path = F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("/"))
+    blocked_pred = F.col("disallow_prefixes").isNotNull() & F.exists(
+        "disallow_prefixes", lambda p: path.startswith(p)
+    )
+    allowed = joined.where(~blocked_pred).drop("disallow_prefixes")
+    blocked = joined.where(blocked_pred).drop("disallow_prefixes")
+    return allowed, blocked
+
+
+def _topk_salted(df: DataFrame, k_col: str, cfg: CrawlConfig) -> DataFrame:
+    """Lossless two-phase per-TPD top-K by (priority DESC, seq ASC)."""
+    order = [F.col("priority").desc(), F.col("seq").asc()]
+    salt = F.pmod(F.col("seq"), F.lit(cfg.skew_salt_buckets))
+    w1 = Window.partitionBy(F.col("tpd"), salt).orderBy(*order)
+    pruned = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= F.col(k_col))
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("tpd").orderBy(*order)
+    return (
+        pruned.withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= F.col(k_col))
+        .drop("_rn2")
+    )
+
+
+def schedule_wave(
+    pending: DataFrame,
+    host_state: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    wave: int,
+) -> tuple[DataFrame, DataFrame]:
+    """frontier-pending → (scheduled rows with fetch_ms, robots_blocked).
+
+    `pending` must have the FRONTIER schema; `host_state` the HOST_STATE
+    schema.  The caller derives the next host_state from the outputs
+    (see next_host_state)."""
+    win_start = wave * cfg.wave_ms
+    win_end = (wave + 1) * cfg.wave_ms
+
+    eligible = pending.where(F.col("not_before_wave") <= F.lit(wave))
+    allowed, blocked = robots_split(eligible, robots)
+
+    allowed = allowed.withColumn("delay_ms", delay_expr("tpd", cfg)).withColumn(
+        "_k", F.ceil(F.lit(cfg.wave_ms) / F.col("delay_ms")).cast("int")
+    )
+    candidates = _topk_salted(allowed, "_k", cfg).drop("_k")
+
+    # schedule state: next_allowed; absent row = schedule created THIS wave
+    # with the reference's initial delay of one interval
+    st = host_state.select("tpd", "next_allowed_ms")
+    candidates = candidates.join(st, on="tpd", how="left")
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True])
+        delay = int(pdf["delay_ms"].iloc[0])
+        na = pdf["next_allowed_ms"].iloc[0]
+        # fresh schedule: first tick one interval after creation
+        t = int(na) if pd.notna(na) else win_start + delay
+        t = max(t, win_start)
+        out = []
+        for i in range(len(pdf)):
+            if t >= win_end:
+                break
+            out.append((i, t))
+            t += delay
+        if not out:
+            return pdf.iloc[0:0].drop(columns=["next_allowed_ms"]).assign(
+                fetch_ms=pd.Series([], dtype="int64")
+            )
+        idx, times = zip(*out)
+        res = pdf.iloc[list(idx)].drop(columns=["next_allowed_ms"]).copy()
+        res["fetch_ms"] = list(times)
+        return res
+
+    scheduled = candidates.groupBy("tpd").applyInPandas(emit, schema=SCHEDULED)
+    return scheduled, blocked
+
+
+def next_host_state(
+    host_state: DataFrame,
+    pending: DataFrame,
+    scheduled: DataFrame,
+    cfg: CrawlConfig,
+    wave: int,
+) -> DataFrame:
+    """Fold the wave into per-TPD schedule state — all JVM aggregations.
+
+    - TPDs that scheduled rows: next_allowed = max(fetch_ms) + delay,
+      cumulative empty counter unchanged
+    - TPDs with pending rows but nothing scheduled: state row ensured
+      (schedule exists / re-created), empty counter unchanged — the queue
+      was not empty
+    - TPDs with a state row and NO pending rows: every tick this wave
+      polled an empty queue → counter += per-wave tick count; rows
+      reaching schedule_timeout are dropped (schedule cancelled,
+      FrontierThrottler.scala:76-82)
+    """
+    win_start = wave * cfg.wave_ms
+
+    sched_agg = scheduled.groupBy("tpd").agg(
+        (F.max("fetch_ms") + F.max("delay_ms")).alias("_sched_next")
+    )
+    pend_agg = pending.groupBy("tpd").agg(F.count("*").alias("_n_pending"))
+    ticks = F.ceil(F.lit(cfg.wave_ms) / delay_expr("tpd", cfg)).cast("int")
+
+    merged = (
+        host_state.select("tpd", "next_allowed_ms", "empty_waves")
+        .join(sched_agg, on="tpd", how="full_outer")
+        .join(pend_agg, on="tpd", how="full_outer")
+    )
+    had_state = F.col("next_allowed_ms").isNotNull()
+    next_allowed = F.coalesce(
+        F.col("_sched_next"),
+        # greatest() ignores nulls → must gate on had_state explicitly
+        F.when(had_state, F.greatest(F.col("next_allowed_ms"), F.lit(win_start))),
+        # new schedule created this wave, nothing emitted yet
+        F.lit(win_start) + delay_expr("tpd", cfg),
+    )
+    queue_empty = F.col("_n_pending").isNull() & F.col("_sched_next").isNull()
+    empty_waves = (
+        F.coalesce(F.col("empty_waves"), F.lit(0))
+        + F.when(had_state & queue_empty, ticks).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        merged.select(
+            F.col("tpd"),
+            next_allowed.cast("long").alias("next_allowed_ms"),
+            empty_waves.alias("empty_waves"),
+        )
+        .where(F.col("empty_waves") < F.lit(cfg.schedule_timeout_empty_polls))
+    )

@@ -1,0 +1,409 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+These are the large-scale corpus operations a 100 TB crawl feeds:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force + LSH-bucketed ANN), text analysis (language-ID,
+quality scoring, token counting, fingerprinting) and the multimodal
+column plumbing.  Everything except SimHash/embedding math is pure
+`pyspark.sql.functions` (JVM, whole-stage codegen); the exceptions are
+vectorized Arrow UDFs over numpy.
+
+Cross-engine determinism: operators meant for the DuckDB oracle use
+md5-derived hashes (`md5()` is identical in Spark and DuckDB) rather
+than engine-private hash functions, so `queries()` and `oracle_sql()`
+agree value-for-value.
+
+Scale notes inline per operator; the shared theme is: shuffle once on
+the blocking key (hash/band/bucket), never self-join the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------- helpers
+
+#: md5-prefix → bigint, identical semantics in DuckDB:
+#:   CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)  /  conv(...,16,10)
+def md5_prefix64(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+
+
+def tokens_expr(text_col) -> F.Column:
+    """Whitespace tokenization of lowercased text (the reference's word
+    counter, example-app/Main.scala:40-46, splits on ' ')."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), " ")
+
+
+def shingles_expr(text_col, n: int = 3) -> F.Column:
+    """n-gram (word) shingles, JVM-side: transform over an index range.
+    Guarded CASE — Spark's sequence(a, b) runs DESCENDING when a > b."""
+    toks = f"split(lower({text_col}), ' ')"
+    m = f"(size({toks}) - {n} + 1)"
+    return F.expr(
+        f"CASE WHEN {m} <= 0 THEN array() "
+        f"ELSE transform(sequence(1, {m}), i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    )
+
+
+# ---------------------------------------------------------- dedup family
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact text dedup: one survivor (min doc_id) per distinct text.
+    Scale: single hash-aggregate shuffle on md5(text) — never on the raw
+    text bytes (group keys stay 16 bytes)."""
+    return (
+        documents.withColumn("text_md5", F.md5("text"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    md5-prefix(i || shingle).  JVM-only (aggregate over the shingle
+    array); md5 keeps it oracle-reproducible."""
+    sh = shingles_expr("text", shingle_n)
+
+    def one(i: int):
+        prefix = f"{i}|"  # closure-bound: extra lambda args would rebind
+        return F.aggregate(
+            sh,
+            F.lit(None).cast("long"),
+            lambda acc, s: F.least(
+                F.coalesce(acc, F.lit((1 << 62))),
+                md5_prefix64(F.concat(F.lit(prefix), s)),
+            ),
+        )
+
+    sig = F.array(*[one(i) for i in range(n_hashes)])
+    return documents.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: equal band-slice of the
+    signature → same bucket → pair.  Scale: the self-join is keyed on
+    (band, bucket_hash) — only colliding docs meet; the full corpus is
+    never n²-joined."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(documents, n_hashes, shingle_n)
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, candidate_pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage after
+    LSH).  Join fetches only candidate docs' shingle sets."""
+    sh = documents.select(
+        "doc_id", F.array_distinct(shingles_expr("text", shingle_n)).alias("sh")
+    )
+    return (
+        candidate_pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy bit-vote.
+    (Charikar 2002; used for near-dup fingerprinting at crawl scale.)"""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.array(
+            [np.uint64(int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "big")) for w in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        v = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        out[i] = np.bitwise_or.reduce(v).astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4×16-bit chunks (any pair
+    within hamming distance ≤ 3 of a 64-bit hash shares at least one
+    exact 16-bit chunk — pigeonhole), verify hamming distance in-JVM
+    via bit_count(xor)."""
+    h = documents.select("doc_id", simhash64_udf("text").alias("sim"))
+    chunks = h.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sim", "cc.chunk_id", "cc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=["chunk_id", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ similarity search
+
+
+def cosine_expr(vec_a, vec_b) -> F.Column:
+    """Cosine similarity of two array<float> columns — pure JVM
+    (zip_with dot product + aggregate norms)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(vec_a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(vec_b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.  The query is a
+    literal array (broadcast by construction); one scan + one top-k —
+    Catalyst executes limit+sort as TakeOrderedAndProject (no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            "vec_id",
+            cosine_expr(F.col("embedding"), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_lsh_bucketed(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH (sign bits of `n_planes`
+    deterministic hyperplanes = bucket id); the query probes only its
+    bucket.  At 1e10 vectors the scan prunes to ~corpus/2^planes.
+    Deterministic planes derive from a fixed seed so results reproduce."""
+    dim = len(query_vec)
+    rng = np.random.RandomState(42)
+    planes = rng.randn(n_planes, dim)
+
+    def bucket_expr(vec_col) -> F.Column:
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(w)) for w in planes[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0
+            ).cast("int")
+            for p in range(n_planes)
+        ]
+        out = F.lit(0)
+        for i, b in enumerate(bits):
+            out = out + (b * F.lit(1 << i))
+        return out
+
+    qvec = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbits = int(
+        sum((1 << i) for i in range(n_planes) if float(np.dot(planes[i], query_vec)) > 0)
+    )
+    return (
+        embeddings.withColumn("bucket", bucket_expr(F.col("embedding")))
+        .where(F.col("bucket") == F.lit(qbits))
+        .select("vec_id", cosine_expr(F.col("embedding"), qvec).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on"
+).split()
+
+
+def stopword_ratio_expr(text_col) -> F.Column:
+    toks = tokens_expr(text_col)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (n_sw / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio")
+
+
+def language_id(documents: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """Heuristic language-ID: English-stopword ratio ≥ threshold → 'en'.
+    (The production swap-in is a fastText-style n-gram model behind the
+    same column contract.)"""
+    return documents.select(
+        "doc_id",
+        F.when(stopword_ratio_expr("text") >= threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Corpus quality heuristics: length, mean word length, stopword
+    ratio, alpha ratio → [0,1] score.  All JVM expressions."""
+    toks = tokens_expr("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) / n_toks
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    sw = stopword_ratio_expr("text")
+    score = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.25).otherwise(0.0)
+        + F.least(sw * 5.0, F.lit(0.25))
+        + alpha_ratio * 0.25
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token accounting: whitespace tokens + a BPE-ish subword proxy
+    (word-boundary pieces ≈ len/4 chars) — the standard pre-training
+    size estimate."""
+    ws = F.size(tokens_expr("text"))
+    subword = F.ceil(F.length("text") / F.lit(4.0)).cast("long")
+    return documents.select(
+        "doc_id", ws.alias("ws_tokens"), subword.alias("subword_est")
+    )
+
+
+def fingerprint(documents: DataFrame, prefix_chars: int = 64) -> DataFrame:
+    """Document fingerprint: md5 of the normalized prefix + length bucket
+    — cheap near-identity key for incremental re-crawl diffing."""
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.md5(F.substring(norm, 1, prefix_chars)).alias("fp_prefix"),
+        (F.floor(F.length("text") / 256)).cast("long").alias("len_bucket"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
+    """Multimodal feature extraction plumbing over opaque media refs.
+
+    The Spark side — schema, Arrow batching, partition shape — is real;
+    the decode step is a deterministic fake (image/audio libs are not in
+    this container): feature = 4 floats derived from md5(media_ref).
+    Set decode=True to hit the NotImplementedError guard where a real
+    decoder (PIL/ffmpeg) plugs in via the same mapInPandas contract.
+    """
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            refs = pdf["media_ref"].fillna("")
+            if decode:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libs; "
+                    "plug a decoder into this mapInPandas stage"
+                )
+            feats = []
+            for rf in refs:
+                d = hashlib.md5(rf.encode()).digest()
+                feats.append([b / 255.0 for b in d[:4]])
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "kind": refs.str.split("://").str[0],
+                    "n_bytes": refs.str.len().astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media_refs.select("media_ref").distinct().mapInPandas(
+        gen, schema=MEDIA_FEATURE_SCHEMA
+    )

@@ -1,0 +1,197 @@
+"""Versioned-snapshot parquet tables — an Iceberg-protocol stand-in.
+
+The north_rule calls for Iceberg tables; this sandbox ships no Iceberg
+runtime jar, so this module implements the same *protocol* on plain
+parquet + manifest files, with the Iceberg concepts mapped 1:1:
+
+  Iceberg concept        here
+  ---------------        ----
+  table snapshot         ``_meta/v{n}.json`` manifest (explicit file list)
+  append (new manifest   ``Table.append`` — writes ONLY new data files,
+   reuses old datafiles)  manifest = parent's files + new files
+  overwrite              ``Table.overwrite`` — manifest lists only new files
+  catalog pointer swap   ``Catalog.commit`` — single atomic ``os.replace``
+   (atomic commit)        of ``_catalog.json`` naming every table's version
+  time travel            ``Table.read(version=...)``
+  partition spec         data files written via ``df.repartition(hash)`` so
+                          each file holds one hash bucket of the key
+
+Swapping to real Iceberg is mechanical: ``append → writeTo(t).append()``,
+``Catalog.commit → a single WAP (write-audit-publish) cherry-pick``.
+
+Why snapshots matter here: a crawl wave reads frontier/url_seen at the
+catalog's committed versions, stages new versions for every table it
+touches, and publishes them with ONE atomic catalog swap (lineage row
+included) — a killed run can never observe a half-committed wave, which
+is what makes resume exact (SURVEY.md §2.6 O8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class Table:
+    """One versioned table. Data files are immutable; each version is a
+    manifest (JSON) listing the parquet files visible in that snapshot."""
+
+    def __init__(self, root: str, name: str, schema: T.StructType):
+        self.root = os.path.join(root, name)
+        self.name = name
+        self.schema = schema
+        os.makedirs(os.path.join(self.root, "_meta"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_data"), exist_ok=True)
+
+    # ---------------------------------------------------------- versions
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.root, "_meta", f"v{version:08d}.json")
+
+    def latest_version(self) -> int:
+        """Highest staged version (0 = empty table). The *committed*
+        version is whatever the Catalog says — staging past it is safe."""
+        metas = os.listdir(os.path.join(self.root, "_meta"))
+        versions = [int(m[1:9]) for m in metas if m.startswith("v")]
+        return max(versions, default=0)
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "files": [], "rows": 0}
+        with open(self._meta_path(version)) as f:
+            return json.load(f)
+
+    def files(self, version: int) -> list[str]:
+        return self._manifest(version)["files"]
+
+    def rows(self, version: int) -> int:
+        return self._manifest(version).get("rows", 0)
+
+    # -------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        files = self.files(v)
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*files)
+
+    # ------------------------------------------------------------- write
+
+    def _write_datafiles(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write df's rows as immutable parquet files, return (paths, rows)."""
+        out = os.path.join(self.root, "_data", uuid.uuid4().hex)
+        # align column order/casing with the declared schema
+        df = df.select([c.name for c in self.schema.fields])
+        df.write.mode("overwrite").parquet(out)
+        files = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            shutil.rmtree(out, ignore_errors=True)
+            return [], 0
+        # cheap row count from parquet footers
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if rows == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return [], 0
+        return files, rows
+
+    def append(self, df: DataFrame, base_version: int | None = None) -> int:
+        """Stage a new version = base's files + df's files. Returns it."""
+        base = self.latest_version() if base_version is None else base_version
+        new_files, new_rows = self._write_datafiles(df)
+        parent = self._manifest(base)
+        v = self.latest_version() + 1
+        _atomic_write_json(
+            self._meta_path(v),
+            {
+                "version": v,
+                "parent": base,
+                "files": parent["files"] + new_files,
+                "rows": parent.get("rows", 0) + new_rows,
+            },
+        )
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        new_files, new_rows = self._write_datafiles(df)
+        v = self.latest_version() + 1
+        _atomic_write_json(
+            self._meta_path(v),
+            {"version": v, "parent": None, "files": new_files, "rows": new_rows},
+        )
+        return v
+
+
+class Catalog:
+    """Atomic multi-table snapshot pointer (the Iceberg catalog analog).
+
+    ``state()`` → {"wave": int, "tables": {name: version}, ...}.  A wave
+    stages versions on any tables it likes, then publishes all of them
+    with one ``commit`` — a single POSIX-atomic rename."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "_catalog.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def state(self) -> dict:
+        if not self.exists():
+            return {"wave": -1, "tables": {}, "config": None, "stats": {}}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def version_of(self, table: str) -> int:
+        return self.state()["tables"].get(table, 0)
+
+    def commit(self, wave: int, table_versions: dict[str, int], **extra) -> None:
+        st = self.state()
+        st["wave"] = wave
+        st["tables"] = {**st["tables"], **table_versions}
+        for k, v in extra.items():
+            st[k] = v
+        _atomic_write_json(self.path, st)
+
+
+class Warehouse:
+    """Catalog + lazily-created tables under one root directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.catalog = Catalog(root)
+        self._tables: dict[str, Table] = {}
+
+    def table(self, name: str, schema: T.StructType) -> Table:
+        t = self._tables.get(name)
+        if t is None:
+            t = self._tables[name] = Table(self.root, name, schema)
+        return t
+
+    def read_committed(
+        self, spark: SparkSession, name: str, schema: T.StructType
+    ) -> DataFrame:
+        """Read a table at the version named by the last catalog commit —
+        snapshot isolation for the wave loop."""
+        return self.table(name, schema).read(spark, self.catalog.version_of(name))

@@ -1,0 +1,168 @@
+"""Link-extraction goldens — the reference's RequestExtractorSpec
+(crawler-test/src/test/scala/processors/RequestExtractorSpec.scala:29-119)
+re-expressed over span arrays."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler import extract, schemas
+
+
+def _fetched(spark, rows):
+    """rows: (url, body_html, location)"""
+    data = [
+        (
+            url,
+            tpd,
+            [],
+            i,
+            0,
+            [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+            if body is not None
+            else [],
+            loc,
+        )
+        for i, (url, tpd, body, loc) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, tpd string, provenance array<string>, seq long, fetch_ms long,"
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+        "location string",
+    )
+
+
+def _dests(df):
+    return {r["dest_url"] for r in df.select("dest_url").collect()}
+
+
+def test_internal_and_external(spark):
+    f = _fetched(
+        spark,
+        [
+            ("http://somesite.com", "somesite.com",
+             "<a href='http://google.com'>I am a link</a>", None),
+            ("http://twitter.com", "twitter.com",
+             "<a href='http://twitter.com'>I am a link too.</a>"
+             "<a href='/relative'>I am a link</a>", None),
+        ],
+    )
+    out = extract.extract_links(f, same_tpd_only=False)
+    assert _dests(out) == {
+        "http://google.com",
+        "http://twitter.com",
+        "http://twitter.com/relative",
+    }
+
+
+def test_internal_only(spark):
+    f = _fetched(
+        spark,
+        [
+            ("http://somesite.com", "somesite.com",
+             "<a href='http://google.com'>I am a link</a>", None),
+            ("http://twitter.com", "twitter.com",
+             "<a href='http://twitter.com'>I am a link too.</a>"
+             "<a href='/relative'>I am a link</a>"
+             "<a href='http://google.com'>x</a>", None),
+        ],
+    )
+    out = extract.extract_links(f, same_tpd_only=True)
+    assert _dests(out) == {"http://twitter.com", "http://twitter.com/relative"}
+
+
+def test_spaces_escaped(spark):
+    f = _fetched(
+        spark,
+        [("http://somesite.com/", "somesite.com",
+          "<a href='http://somesite.com/I am a link/with'>spaces</a>", None)],
+    )
+    assert _dests(extract.extract_links(f, same_tpd_only=True)) == {
+        "http://somesite.com/I%20am%20a%20link/with"
+    }
+
+
+def test_already_escaped_passthrough(spark):
+    f = _fetched(
+        spark,
+        [("http://somesite.com/", "somesite.com",
+          "<a href='http://somesite.com/I%20am%20a%20link/with'>spaces</a>", None)],
+    )
+    assert _dests(extract.extract_links(f, same_tpd_only=True)) == {
+        "http://somesite.com/I%20am%20a%20link/with"
+    }
+
+
+def test_location_absolute(spark):
+    f = _fetched(
+        spark,
+        [
+            ("http://somesite.com", "somesite.com", None, "http://www.somesite.com"),
+            ("http://somesite.com", "somesite.com", None, "http://someothersite.com"),
+        ],
+    )
+    out = extract.extract_links(f)
+    assert _dests(out) == {"http://www.somesite.com", "http://someothersite.com"}
+    assert {r["link_source"] for r in out.collect()} == {"location"}
+
+
+def test_location_relative(spark):
+    f = _fetched(
+        spark,
+        [
+            ("http://somesite.com", "somesite.com", None, "/start"),
+            ("http://somesite.com", "somesite.com", None, "/start with spaces"),
+        ],
+    )
+    assert _dests(extract.extract_links(f)) == {
+        "http://somesite.com/start",
+        "http://somesite.com/start%20with%20spaces",
+    }
+
+
+def test_location_always_passes_tpd_filter(spark):
+    # Location-header links pass even when cross-TPD (RequestExtractor.scala:95-100)
+    f = _fetched(
+        spark,
+        [("http://somesite.com", "somesite.com", None, "http://other.com/x")],
+    )
+    assert _dests(extract.extract_links(f, same_tpd_only=True)) == {
+        "http://other.com/x"
+    }
+
+
+def test_document_order_and_media_skip(spark):
+    spans = [
+        {"kind": "text", "text": "<a href='/a'>1</a><a href='/b'>2</a>", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "img://x", "offset": 1},
+        {"kind": "text", "text": "<a href='/c'>3</a>", "media_ref": "", "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        [("http://h.example.com/p", "example.com", [], 0, 0, spans, None)],
+        "url string, tpd string, provenance array<string>, seq long, fetch_ms long,"
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+        "location string",
+    )
+    out = extract.extract_links(df).orderBy("link_pos").collect()
+    assert [r["dest_url"] for r in out] == [
+        "http://h.example.com/a",
+        "http://h.example.com/b",
+        "http://h.example.com/c",
+    ]
+    media = extract.extract_media_refs(df.withColumn("doc_id", F.lit("d1")))
+    assert [r["media_ref"] for r in media.collect()] == ["img://x"]
+
+
+def test_scalar_twin_matches(spark):
+    """py_extract_links (the oracle's kernel) agrees with the Spark path."""
+    spans = [
+        {"kind": "text", "text": "<a href='/a'>1</a><a href=\"b/c\">2</a>", "media_ref": "", "offset": 0},
+    ]
+    url = "http://h.example.com/dir/page"
+    py = extract.py_extract_links(url, spans, "/redir")
+    assert [(d, s) for d, s, _ in py] == [
+        ("http://h.example.com/a", "content"),
+        ("http://h.example.com/dir/b/c", "content"),
+        ("http://h.example.com/redir", "location"),
+    ]

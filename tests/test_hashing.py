@@ -1,0 +1,75 @@
+"""Hash parity + bloom/cuckoo unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler import bloom as B
+from crawler.hashing import bloom_params, murmur3_32
+
+VECTORS = [
+    "",
+    "a",
+    "ab",
+    "abc",
+    "abcd",
+    "abcde",
+    "http://localhost:9090/crawl/1",
+    "http://blog.amazon.co.jp/some/path?q=1#frag",
+    "ünïcödé-ß∂ƒ",
+    "x" * 1000,
+]
+
+
+def test_murmur3_matches_spark_hash(spark):
+    df = spark.createDataFrame([(v,) for v in VECTORS], "s string")
+    got = [r["h"] for r in df.select(F.hash("s").alias("h")).collect()]
+    want = [murmur3_32(v) for v in VECTORS]
+    assert got == want
+
+
+def test_bloom_params_guava_envelope():
+    m, k = bloom_params(1_000_000, 1e-4)
+    # Guava: optimalNumOfBits(1e6, 1e-4) = 19170116 bits, k = 13
+    assert abs(m - 19170116) < 16  # byte alignment slack
+    assert k == 13
+
+
+def test_bloom_add_contains_no_false_negatives():
+    m, k = bloom_params(1000, 1e-4)
+    blob = B.new_bloom(m)
+    rng = np.random.RandomState(42)
+    h1 = rng.randint(-(2**31), 2**31, size=500).astype(np.int64)
+    h2 = rng.randint(-(2**62), 2**62, size=500).astype(np.int64)
+    blob = B.bloom_add(blob, h1, h2, k)
+    assert B.bloom_contains(blob, h1, h2, k).all()
+    # fresh keys: nearly all negative at this fpp
+    o1 = rng.randint(-(2**31), 2**31, size=500).astype(np.int64)
+    o2 = rng.randint(-(2**62), 2**62, size=500).astype(np.int64)
+    assert B.bloom_contains(blob, o1, o2, k).mean() < 0.01
+
+
+def test_cuckoo_add_delete_contains():
+    blob = B.new_cuckoo(1024)
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2**62), 2**62, size=300).astype(np.int64)
+    blob, failed = B.cuckoo_add(blob, keys)
+    assert failed == 0
+    assert B.cuckoo_contains(blob, keys).all()
+    # delete half, they must disappear; the rest must remain
+    blob = B.cuckoo_delete(blob, keys[:150])
+    assert not B.cuckoo_contains(blob, keys[:150]).any() or (
+        # fingerprint collisions may keep a few "present" — bounded
+        B.cuckoo_contains(blob, keys[:150]).mean() < 0.05
+    )
+    assert B.cuckoo_contains(blob, keys[150:]).all()
+
+
+def test_cuckoo_idempotent_add():
+    blob = B.new_cuckoo(64)
+    keys = np.array([123456789, 123456789, -42], dtype=np.int64)
+    blob, _ = B.cuckoo_add(blob, keys)
+    arr = np.frombuffer(blob, dtype=np.uint16)
+    assert (arr != 0).sum() == 2  # set semantics, no double insert

@@ -1,0 +1,138 @@
+"""Politeness scheduler semantics — FrontierThrottlerSpec /
+RabbitThrottlerSpec timing assertions re-expressed as wave/fetch_ms
+order assertions under the logical clock."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler import politeness, schemas
+from crawler.config import CrawlConfig
+
+
+def _pending(spark, rows):
+    """rows: (url, tpd, seq) — rest defaulted."""
+    data = [
+        (u, u, hash(u) % 10**9, u.split("/")[2], tpd, "GET", [], 0.0, s, 0, 0)
+        for (u, tpd, s) in rows
+    ]
+    return spark.createDataFrame(data, schemas.FRONTIER)
+
+
+def _state(spark, rows=()):
+    return spark.createDataFrame(list(rows), schemas.HOST_STATE)
+
+
+def _robots(spark, rows=()):
+    return spark.createDataFrame(list(rows), schemas.ROBOTS_CACHE)
+
+
+def test_one_message_per_interval(spark):
+    """Exactly one dequeue per tick per TPD (RabbitThrottlerSpec:39-60);
+    first tick one interval after schedule creation."""
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=100)
+    pend = _pending(
+        spark, [(f"http://a.example.com/{i}", "example.com", i) for i in range(3)]
+    )
+    st = _state(spark)
+    # wave 0: schedule created this wave → first tick at t=100 (wave 1)
+    s0, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
+    assert s0.count() == 0
+    st1 = politeness.next_host_state(st, pend, s0, cfg, 0)
+    s1, _ = politeness.schedule_wave(pend, st1, _robots(spark), cfg, 1)
+    rows = s1.collect()
+    assert len(rows) == 1  # exactly one per interval
+    assert rows[0]["url"] == "http://a.example.com/0"  # FIFO by seq
+    assert rows[0]["fetch_ms"] == 100
+
+
+def test_independent_domains(spark):
+    """Schedules per domain are independent (FrontierThrottlerSpec)."""
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=100)
+    pend = _pending(
+        spark,
+        [("http://a.one.com/1", "one.com", 0), ("http://b.two.com/1", "two.com", 0)],
+    )
+    st = _state(spark, [("one.com", 0, 0), ("two.com", 0, 0)])
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
+    assert s.count() == 2  # both domains fetch in the same wave
+
+
+def test_custom_domain_delay(spark):
+    """ConfigSpec golden: somedomain.com → 1337ms override."""
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100, wave_ms=1000, domain_delays={"somedomain.com": 1337}
+    )
+    pend = _pending(
+        spark,
+        [(f"http://x.somedomain.com/{i}", "somedomain.com", i) for i in range(5)]
+        + [(f"http://y.fast.com/{i}", "fast.com", i) for i in range(25)],
+    )
+    st = _state(spark, [("somedomain.com", 0, 0), ("fast.com", 0, 0)])
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
+    per = {r["tpd"]: r["cnt"] for r in s.groupBy("tpd").agg(F.count("*").alias("cnt")).collect()}
+    # fast.com: 1000/100 = 10 per wave; somedomain.com: ceil(1000/1337)=1
+    assert per == {"fast.com": 10, "somedomain.com": 1}
+
+
+def test_fifo_order_with_priority_override(spark):
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=500)
+    pend = _pending(
+        spark, [(f"http://a.example.com/{i}", "example.com", i) for i in range(5)]
+    ).withColumn(
+        "priority", F.when(F.col("seq") == 3, F.lit(9.0)).otherwise(F.lit(0.0))
+    )
+    st = _state(spark, [("example.com", 0, 0)])
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
+    got = [r["url"][-1] for r in s.orderBy("fetch_ms").collect()]
+    assert got == ["3", "0", "1", "2", "4"]  # priority first, then FIFO
+
+
+def test_robots_blocking(spark):
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=1000)
+    pend = _pending(
+        spark,
+        [("http://a.example.com/private/x", "example.com", 0),
+         ("http://a.example.com/ok", "example.com", 1)],
+    )
+    st = _state(spark, [("example.com", 0, 0)])
+    robots = _robots(spark, [("a.example.com", ["/private"], 0)])
+    s, blocked = politeness.schedule_wave(pend, st, robots, cfg, 0)
+    assert [r["url"] for r in s.collect()] == ["http://a.example.com/ok"]
+    assert [r["url"] for r in blocked.collect()] == ["http://a.example.com/private/x"]
+
+
+def test_schedule_timeout_eviction_and_recreate(spark):
+    """After `timeout` cumulative empty polls the schedule is cancelled
+    (FrontierThrottler.scala:76-82); new requests re-create it."""
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=100,
+                      schedule_timeout_empty_polls=3)
+    empty_pend = _pending(spark, [])
+    st = _state(spark, [("example.com", 0, 0)])
+    for w in range(3):
+        s, _ = politeness.schedule_wave(empty_pend, st, _robots(spark), cfg, w)
+        st = politeness.next_host_state(st, empty_pend, s, cfg, w)
+    assert st.count() == 0  # evicted after 3 empty polls
+    # re-created on next pending rows: initial delay = one interval
+    pend = _pending(spark, [("http://a.example.com/1", "example.com", 0)])
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 7)
+    assert s.count() == 0  # first tick one interval later
+    st = politeness.next_host_state(st, pend, s, cfg, 7)
+    row = st.collect()[0]
+    assert row["next_allowed_ms"] == 7 * 100 + 100 and row["empty_waves"] == 0
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 8)
+    assert s.count() == 1
+
+
+def test_mega_host_salted_topk_lossless(spark):
+    """Skew: 10k pending rows on one host — scheduler emits the exact
+    FIFO head regardless of the salted prune."""
+    cfg = CrawlConfig(per_domain_delay_ms=10, wave_ms=100, skew_salt_buckets=8)
+    pend = _pending(
+        spark,
+        [(f"http://mega.example.com/{i}", "example.com", i) for i in range(10_000)],
+    )
+    st = _state(spark, [("example.com", 0, 0)])
+    s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
+    got = [int(r["url"].rsplit("/", 1)[1]) for r in s.orderBy("fetch_ms").collect()]
+    assert got == list(range(10))  # exact first 10, in order

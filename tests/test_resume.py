@@ -1,0 +1,91 @@
+"""Kill-and-resume exactness (north_rule; the reference's recovery
+contract from PersistentDuplicateFilterSpec journal/snapshot replay).
+
+A run killed after wave k and resumed must produce byte-identical
+final state to an uninterrupted run: same URL-seen set, same per-host
+order, same lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler import synth
+from crawler.config import test_config
+from crawler.loop import Crawl
+
+
+def _fixture(spark):
+    pages_pd, docs_pd = synth.test_server_fixture()
+    return synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd)
+
+
+def _final_state(c: Crawl):
+    seen = sorted(
+        r["url_canon"] for r in c._read("url_seen").select("url_canon").collect()
+    )
+    fetched = [
+        (r["host"], r["wave"], r["fetch_ms"], r["url"])
+        for r in c._read("fetched")
+        .select("host", "wave", "fetch_ms", "url")
+        .orderBy("host", "wave", "fetch_ms", "url")
+        .collect()
+    ]
+    lineage = [
+        tuple(r)
+        for r in c._read("lineage").orderBy("wave", "partition_id").collect()
+    ]
+    return seen, fetched, lineage
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    seeds = ["http://localhost:9090/crawl/1", "http://localhost:9090/links/1"]
+    pages, docs = _fixture(spark)
+
+    # uninterrupted reference run
+    cfg = test_config(seed_url_seen=True, max_waves=40)
+    c_ref = Crawl(spark, str(tmp_path / "ref"), cfg)
+    c_ref.init(seeds, pages, docs)
+    c_ref.run()
+
+    # interrupted run: stop after 4 waves ("kill"), then resume in a NEW
+    # Crawl instance that only sees the committed catalog
+    cfg_k = test_config(seed_url_seen=True, max_waves=4)
+    c1 = Crawl(spark, str(tmp_path / "kill"), cfg_k)
+    c1.init(seeds, pages, docs)
+    c1.run()
+    assert c1.wh.catalog.state()["wave"] == 3  # committed through wave 3
+
+    # stage some ORPHAN junk as a mid-wave kill would leave behind — the
+    # resumed run must ignore it (appends are based on committed versions)
+    c1._t("url_seen").append(
+        spark.createDataFrame(
+            [("http://junk.example.com/x", 123456789, 99)],
+            "url_canon string, url_hash long, wave int",
+        )
+    )
+
+    cfg_r = test_config(seed_url_seen=True, max_waves=40)
+    c2 = Crawl(spark, str(tmp_path / "kill"), cfg_r)
+    c2.run()  # resumes from the catalog, no re-init
+
+    ref = _final_state(c_ref)
+    got = _final_state(c2)
+    assert got[0] == ref[0], "url_seen differs after resume"
+    assert got[1] == ref[1], "per-host fetch order differs after resume"
+    assert got[2] == ref[2], "lineage differs after resume"
+    assert "http://junk.example.com/x" not in got[0]
+
+
+def test_resume_noop_when_finished(spark, tmp_path):
+    seeds = ["http://localhost:9090/links/1"]
+    pages, docs = _fixture(spark)
+    cfg = test_config(seed_url_seen=True, max_waves=40)
+    c = Crawl(spark, str(tmp_path / "wh"), cfg)
+    c.init(seeds, pages, docs)
+    c.run()
+    final_wave = c.wh.catalog.state()["wave"]
+    # second run: frontier exhausted → no new waves committed
+    c2 = Crawl(spark, str(tmp_path / "wh"), cfg)
+    out = c2.run()
+    assert c2.wh.catalog.state()["wave"] == final_wave
+    assert len(out) <= 3  # only empty clock-advance waves, if any

@@ -1,0 +1,110 @@
+"""Training-data operators: dedup family, ANN, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),  # near-dup of 0
+        (2, base),  # exact dup of 0
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, "another unrelated document mentioning bloom filters and politeness"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = textops.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 2  # docs 0 and 2 collapse, min doc_id survives
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.minhash_lsh_pairs(docs, n_hashes=16, bands=8).collect()
+    }
+    assert (0, 2) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dup caught by a band
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(docs, cand).collect()
+    }
+    assert out[(0, 1)] > 0.7  # near-dup
+    assert out[(0, 3)] < 0.1  # unrelated
+
+
+def test_simhash_near_dup(spark, docs):
+    out = textops.simhash_dedup(docs, hamming_max=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 2)] == 0  # identical text → identical simhash
+    assert (0, 1) in pairs  # near-dup within hamming budget
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_knn_bruteforce_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(8)
+    rows = []
+    for i in range(50):
+        v = rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    # plant a vector almost identical to the query
+    rows.append((99, [float(x) for x in (base + 0.01 * rng.randn(8))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base]
+    top = textops.knn_bruteforce(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 99 and top[0]["cos_sim"] > 0.99
+    # LSH path: the planted near-identical vector lands in the query's
+    # bucket (identical sign pattern) and tops the pruned scan
+    lsh = textops.knn_lsh_bucketed(emb, q, k=3, n_planes=4).collect()
+    assert lsh and lsh[0]["vec_id"] == 99
+
+
+def test_language_and_quality_and_tokens(spark, docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(docs).collect()}
+    assert lang[0] == "en"  # stopword-rich
+    q = {r["doc_id"]: r for r in textops.quality_score(docs).collect()}
+    assert 0 < q[0]["quality"] <= 1.0
+    t = {r["doc_id"]: r for r in textops.token_counts(docs).collect()}
+    assert t[0]["ws_tokens"] == 14
+    fp = {r["doc_id"]: r["fp_prefix"] for r in textops.fingerprint(docs).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[3]
+
+
+def test_media_features_plumbing(spark):
+    refs = spark.createDataFrame(
+        [("img://a/1.jpg",), ("audio://b/2.wav",)], "media_ref string"
+    )
+    out = {r["media_ref"]: r for r in textops.media_features(refs).collect()}
+    assert out["img://a/1.jpg"]["kind"] == "img"
+    assert out["audio://b/2.wav"]["kind"] == "audio"
+    assert len(out["img://a/1.jpg"]["feature"]) == 4
+    # decode=True is the real-decoder seam: must fail loudly, not fake
+    with pytest.raises(Exception):
+        textops.media_features(refs, decode=True).collect()
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = textops.minhash_signatures(docs, n_hashes=8).collect()
+    assert all(len(r["sig"]) == 8 for r in sigs)
+    by_id = {r["doc_id"]: tuple(r["sig"]) for r in sigs}
+    assert by_id[0] == by_id[2]  # identical docs → identical signatures
+    assert by_id[0] != by_id[3]
