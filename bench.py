@@ -56,7 +56,8 @@ def run_frontier_wave(spark, n_urls: int) -> dict:
         bloom_expected_insertions=max(1_000_000, n_urls),
         skew_salt_buckets=32,
     )
-    pend = synth.synth_frontier(spark, n_urls, n_hosts=2000, mega_share=0.2)
+    pend = synth.synth_frontier(spark, n_urls, n_hosts=2000, mega_share=0.2).persist()
+    pend.count()  # materialize the input OUTSIDE the timed window
     host_state = spark.createDataFrame(
         [(t, 0, 0) for t in ["mega.com"] + [f"h{i:04d}.com" for i in range(2000)]],
         schemas.HOST_STATE,
@@ -67,6 +68,7 @@ def run_frontier_wave(spark, n_urls: int) -> dict:
 
     t0 = _now()
     scheduled, _blocked = politeness.schedule_wave(pend, host_state, robots, cfg, 0)
+    scheduled = scheduled.persist()
     cand = scheduled.select(
         "url", "tpd", "host", "url_canon", "url_hash", "fetch_ms",
         F.col("url").alias("source_url"), F.col("seq").alias("src_seq"),
@@ -77,6 +79,8 @@ def run_frontier_wave(spark, n_urls: int) -> dict:
     new = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
     n_new = new.count()
     sec = _now() - t0
+    pend.unpersist()
+    scheduled.unpersist()
     return {
         "urls": int(n_new),
         "sec": round(sec, 3),

@@ -195,8 +195,9 @@ def dedup_candidates(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # 2. bloom prefilter (cogrouped per shard)
-    probed = bloom_probe(firsts, bloom_df, cfg)
+    # 2. bloom prefilter (cogrouped per shard); persisted — the fresh /
+    # maybe split reads it twice and must not re-run the probe pipeline
+    probed = bloom_probe(firsts, bloom_df, cfg).persist()
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     # 3. exact backstop on the maybe-seen minority only

@@ -148,7 +148,10 @@ class Crawl:
         pages = self._read("pages")
         documents = self._read("documents_spans")
 
-        pend = frontier.pending(adds, consumed)
+        pend = frontier.pending(adds, consumed).persist()
+        # manifest row-count: skip the robots join when the cache is empty
+        if self._t("robots_cache").rows(cat.version_of("robots_cache")) == 0:
+            robots = None
         scheduled, blocked = politeness.schedule_wave(pend, host_state, robots, cfg, wave)
         scheduled = scheduled.persist()
         blocked = blocked.persist()
@@ -257,7 +260,7 @@ class Crawl:
         )
         m.pending_after = self.pending_count()
 
-        for df in (scheduled, blocked, fetched_raw, delivered, cand, new_links):
+        for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links):
             df.unpersist()
         return m
 

@@ -95,20 +95,25 @@ def _topk_salted(df: DataFrame, k_col: str, cfg: CrawlConfig) -> DataFrame:
 def schedule_wave(
     pending: DataFrame,
     host_state: DataFrame,
-    robots: DataFrame,
+    robots: DataFrame | None,
     cfg: CrawlConfig,
     wave: int,
 ) -> tuple[DataFrame, DataFrame]:
     """frontier-pending → (scheduled rows with fetch_ms, robots_blocked).
 
     `pending` must have the FRONTIER schema; `host_state` the HOST_STATE
-    schema.  The caller derives the next host_state from the outputs
+    schema.  Pass robots=None when the robots table is known empty (the
+    loop reads row counts from manifests for free) to skip the join.
+    The caller derives the next host_state from the outputs
     (see next_host_state)."""
     win_start = wave * cfg.wave_ms
     win_end = (wave + 1) * cfg.wave_ms
 
     eligible = pending.where(F.col("not_before_wave") <= F.lit(wave))
-    allowed, blocked = robots_split(eligible, robots)
+    if robots is None:
+        allowed, blocked = eligible, eligible.limit(0)
+    else:
+        allowed, blocked = robots_split(eligible, robots)
 
     allowed = allowed.withColumn("delay_ms", delay_expr("tpd", cfg)).withColumn(
         "_k", F.ceil(F.lit(cfg.wave_ms) / F.col("delay_ms")).cast("int")
@@ -121,25 +126,21 @@ def schedule_wave(
     candidates = candidates.join(st, on="tpd", how="left")
 
     def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True])
         delay = int(pdf["delay_ms"].iloc[0])
         na = pdf["next_allowed_ms"].iloc[0]
         # fresh schedule: first tick one interval after creation
-        t = int(na) if pd.notna(na) else win_start + delay
-        t = max(t, win_start)
-        out = []
-        for i in range(len(pdf)):
-            if t >= win_end:
-                break
-            out.append((i, t))
-            t += delay
-        if not out:
-            return pdf.iloc[0:0].drop(columns=["next_allowed_ms"]).assign(
-                fetch_ms=pd.Series([], dtype="int64")
-            )
-        idx, times = zip(*out)
-        res = pdf.iloc[list(idx)].drop(columns=["next_allowed_ms"]).copy()
-        res["fetch_ms"] = list(times)
+        start = int(na) if pd.notna(na) else win_start + delay
+        start = max(start, win_start)
+        # ticks are an arithmetic progression — emit count is arithmetic,
+        # no row loop (this is the wave's hot path at 1e10 scale)
+        n_emit = 0 if start >= win_end else min(
+            len(pdf), -(-(win_end - start) // delay)
+        )
+        res = pdf.iloc[:n_emit].drop(columns=["next_allowed_ms"]).copy()
+        res["fetch_ms"] = start + np.arange(n_emit, dtype=np.int64) * delay
         return res
 
     scheduled = candidates.groupBy("tpd").applyInPandas(emit, schema=SCHEDULED)
