@@ -56,10 +56,16 @@ def run_frontier_wave(spark, n_urls: int) -> dict:
         bloom_expected_insertions=max(1_000_000, n_urls),
         skew_salt_buckets=32,
     )
-    pend = synth.synth_frontier(spark, n_urls, n_hosts=2000, mega_share=0.2).persist()
+    # host count scales with input so the wave's scheduled set (hosts ×
+    # budget) grows with n_urls — otherwise the metric saturates at the
+    # politeness cap instead of measuring throughput
+    n_hosts = max(2000, n_urls // 500)
+    pend = synth.synth_frontier(
+        spark, n_urls, n_hosts=n_hosts, mega_share=0.2
+    ).persist()
     pend.count()  # materialize the input OUTSIDE the timed window
     host_state = spark.createDataFrame(
-        [(t, 0, 0) for t in ["mega.com"] + [f"h{i:04d}.com" for i in range(2000)]],
+        [(t, 0, 0) for t in ["mega.com"] + [f"h{i:06d}.com" for i in range(n_hosts)]],
         schemas.HOST_STATE,
     )
     robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)

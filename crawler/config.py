@@ -51,6 +51,12 @@ class CrawlConfig:
     #: StatusCodeFilter before extraction (example-app/Main.scala:58)
     status_filter: bool = True
 
+    # --- robots.txt (north_rule; not in the reference) ---
+    #: fetch + cache http://host/robots.txt for hosts newly seen in the
+    #: frontier (out-of-band of the politeness budget); disallowed URLs
+    #: are dropped at scheduling time
+    fetch_robots: bool = False
+
     # --- termination (TerminationSink.scala:28, Main.scala:37) ---
     max_fetched: int | None = None
     max_waves: int = 1000

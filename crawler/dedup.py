@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
-from pyspark.sql.window import Window
-
 from . import bloom as B
 from . import schemas
 from .config import CrawlConfig
@@ -70,17 +68,34 @@ def _probe_schema(cand_schema: T.StructType) -> T.StructType:
     return T.StructType(cand_schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)])
 
 
-def bloom_probe(candidates: DataFrame, bloom_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def bloom_probe(
+    candidates: DataFrame,
+    bloom_df: DataFrame,
+    cfg: CrawlConfig,
+    first_wins_order: tuple[str, ...] | None = None,
+) -> DataFrame:
     """candidates(+h1,url_hash,shard_id) → + maybe_seen.
 
     Cogrouped by shard_id: each shard's blob moves once, candidates probe
-    it vectorized.  Cuckoo tombstones override bloom positives."""
+    it vectorized.  Cuckoo tombstones override bloom positives.
+
+    When `first_wins_order` is given, within-wave first-wins dedup runs
+    INSIDE the same cogroup — correct globally because equal url_canon ⇒
+    equal host ⇒ equal tpd ⇒ equal shard_id, so all duplicates of a key
+    meet in one group.  This folds what would otherwise be a separate
+    full shuffle+sort (window over url_canon) into the probe's shuffle.
+    """
     m_bits, k = B.shard_bloom_bits(
         cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
     )
     out_schema = _probe_schema(candidates.schema)
+    order = list(first_wins_order) if first_wins_order else None
 
     def probe(key, cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if order is not None and len(cand):
+            cand = cand.sort_values(order, kind="mergesort").drop_duplicates(
+                "url_canon", keep="first"
+            )
         if len(cand) == 0:
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
         h1 = cand["h1"].to_numpy()
@@ -188,16 +203,12 @@ def dedup_candidates(
     columns (probe/bookkeeping columns dropped except h1/shard_id which
     the caller needs for the bloom update).
     """
-    # 1. within-wave first-wins (deterministic stream order)
-    w = Window.partitionBy("url_canon").orderBy(*[F.col(c) for c in order_cols])
-    firsts = (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    # 2. bloom prefilter (cogrouped per shard); persisted — the fresh /
-    # maybe split reads it twice and must not re-run the probe pipeline
-    probed = bloom_probe(firsts, bloom_df, cfg).persist()
+    # 1+2. within-wave first-wins folded into the cogrouped bloom probe
+    # (one shuffle; globally correct — see bloom_probe); persisted so the
+    # fresh/maybe split doesn't re-run the probe pipeline
+    probed = bloom_probe(
+        candidates, bloom_df, cfg, first_wins_order=order_cols
+    ).persist()
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     # 3. exact backstop on the maybe-seen minority only

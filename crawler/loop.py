@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import dedup, extract, fetchsim, frontier, lineage, politeness, schemas
+from . import robots as robots_mod
 from .config import CrawlConfig
 from .warehouse import Warehouse
 
@@ -149,8 +150,21 @@ class Crawl:
         documents = self._read("documents_spans")
 
         pend = frontier.pending(adds, consumed).persist()
-        # manifest row-count: skip the robots join when the cache is empty
-        if self._t("robots_cache").rows(cat.version_of("robots_cache")) == 0:
+        robots_version = cat.version_of("robots_cache")
+        if cfg.fetch_robots:
+            # fetch + cache robots for hosts newly seen in the frontier
+            # (out-of-band: robots fetches don't consume politeness budget)
+            new_robots = robots_mod.refresh_robots(
+                pend, robots, pages, documents, wave
+            ).persist()
+            to_unpersist = [new_robots]
+            if new_robots.count() > 0:
+                robots_version = self._t("robots_cache").append(
+                    new_robots, base_version=robots_version
+                )
+                robots = robots.unionByName(new_robots)
+        elif self._t("robots_cache").rows(robots_version) == 0:
+            # manifest row-count: skip the robots join when cache is empty
             robots = None
         scheduled, blocked = politeness.schedule_wave(pend, host_state, robots, cfg, wave)
         scheduled = scheduled.persist()
@@ -193,6 +207,11 @@ class Crawl:
 
         # ---- stage all table versions against COMMITTED bases
         base = cat.state()["tables"]
+        extra_versions = (
+            {"robots_cache": robots_version}
+            if robots_version != cat.version_of("robots_cache")
+            else {}
+        )
         new_rows = frontier.links_to_frontier(new_links, cfg, wave)
         versions = {
             "frontier_adds": self._t("frontier_adds").append(
@@ -252,7 +271,7 @@ class Crawl:
         st = cat.state()["stats"]
         self.wh.catalog.commit(
             wave,
-            versions,
+            {**versions, **extra_versions},
             stats={
                 "fetched": st.get("fetched", 0) + m.delivered,
                 "bytes": st.get("bytes", 0) + m.bytes_fetched,
@@ -260,7 +279,8 @@ class Crawl:
         )
         m.pending_after = self.pending_count()
 
-        for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links):
+        for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links,
+                   *(to_unpersist if cfg.fetch_robots else [])):
             df.unpersist()
         return m
 

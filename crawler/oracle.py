@@ -68,7 +68,20 @@ class Oracle:
         }
         self.known_hosts = set(pages["host"])
         self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
-        self.robots = robots or {}
+        self.robots = dict(robots or {})
+
+    def _fetch_robots(self, host: str) -> list[str]:
+        """Mirror of robots.refresh_robots: 2xx robots page → parsed
+        Disallow prefixes; anything else → negative cache ([])."""
+        from . import robots as robots_mod
+
+        page = self.pages.get(f"http://{host}/robots.txt")
+        if page is None or not (200 <= page[0] < 300):
+            return []
+        doc_id = page[2]
+        spans = self.docs.get(doc_id, []) if doc_id else []
+        text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+        return robots_mod.py_parse_disallow(text)
 
     def run(self, seeds: list[str]) -> OracleResult:
         cfg = self.cfg
@@ -95,6 +108,12 @@ class Oracle:
                 break
             win_start, win_end = w * cfg.wave_ms, (w + 1) * cfg.wave_ms
             fetch_log: list[tuple[int, ORow]] = []  # (fetch_ms, row)
+
+            if cfg.fetch_robots:
+                for rows in queues.values():
+                    for r in rows:
+                        if r.host not in self.robots:
+                            self.robots[r.host] = self._fetch_robots(r.host)
 
             for tpd in sorted(queues):  # per-host independence; sort = determinism
                 rows = queues[tpd]

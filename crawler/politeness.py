@@ -75,20 +75,20 @@ def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
 
 
 def _topk_salted(df: DataFrame, k_col: str, cfg: CrawlConfig) -> DataFrame:
-    """Lossless two-phase per-TPD top-K by (priority DESC, seq ASC)."""
+    """Lossless salted per-TPD candidate prune by (priority DESC, seq ASC).
+
+    One window over (tpd, salt) keeps ≤K rows per salt bucket — any row
+    in the true per-TPD top-K is in its bucket's top-K, so the union
+    (≤ K·S rows per TPD) is a superset of the exact top-K.  The emit
+    stage sorts its (bounded) group and truncates to the wave budget, so
+    a second exact top-K window would be a redundant full shuffle."""
     order = [F.col("priority").desc(), F.col("seq").asc()]
     salt = F.pmod(F.col("seq"), F.lit(cfg.skew_salt_buckets))
     w1 = Window.partitionBy(F.col("tpd"), salt).orderBy(*order)
-    pruned = (
+    return (
         df.withColumn("_rn1", F.row_number().over(w1))
         .where(F.col("_rn1") <= F.col(k_col))
         .drop("_rn1")
-    )
-    w2 = Window.partitionBy("tpd").orderBy(*order)
-    return (
-        pruned.withColumn("_rn2", F.row_number().over(w2))
-        .where(F.col("_rn2") <= F.col(k_col))
-        .drop("_rn2")
     )
 
 
@@ -121,7 +121,9 @@ def schedule_wave(
     candidates = _topk_salted(allowed, "_k", cfg).drop("_k")
 
     # schedule state: next_allowed; absent row = schedule created THIS wave
-    # with the reference's initial delay of one interval
+    # with the reference's initial delay of one interval.  One row per
+    # active TPD — Catalyst auto-broadcasts below threshold; at a 100M-
+    # domain frontier it correctly falls back to a shuffle join on tpd.
     st = host_state.select("tpd", "next_allowed_ms")
     candidates = candidates.join(st, on="tpd", how="left")
 

@@ -27,12 +27,24 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("", "*") else max(int(n), 1)
 
+    # shuffle/spill on tmpfs when available — local mode shuffles through
+    # spark.local.dir; on a disk-backed /tmp that becomes the bottleneck
+    # long before CPU (on a real cluster: fast local SSDs / EBS)
+    local_dir = None
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing targets 64MB/partition, which collapses
+        # our modest-byte/high-cardinality shuffles (windows, cogroups) to
+        # a handful of tasks and serializes the machine — keep skew-join
+        # splitting, drop coalescing (measured 3-20x on the wave hot path)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -40,6 +52,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -113,6 +113,25 @@ def multihost_fixture(
             doc_id = f"doc:{h}/p/{k}"
             docs.append(_doc(doc_id, body, with_media=(k % 5 == 0)))
             pages.append(_page(url, 200, None, doc_id))
+    # robots.txt pages (plain-text single span): the mega-host disallows
+    # the /p/1 prefix (so /p/1, /p/10.., /p/1xx are all blocked when
+    # fetch_robots is on); h001 disallows /p/3
+    for h, dis in (("mega.com", "/p/1"), ("h001.com", "/p/3")):
+        doc_id = f"doc:{h}/robots.txt"
+        docs.append(
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": f"User-agent: *\nDisallow: {dis}",
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            }
+        )
+        pages.append(_page(f"http://{h}/robots.txt", 200, None, doc_id))
     return pd.DataFrame(pages), pd.DataFrame(docs)
 
 
@@ -139,7 +158,7 @@ def synth_frontier(
     host = F.when(is_mega, F.lit("mega.com")).otherwise(
         F.concat(
             F.lit("h"),
-            F.lpad(F.pmod(F.hash(F.col("id")), F.lit(n_hosts)).cast("string"), 4, "0"),
+            F.lpad(F.pmod(F.hash(F.col("id")), F.lit(n_hosts)).cast("string"), 6, "0"),
             F.lit(".com"),
         )
     )
@@ -167,7 +186,7 @@ def synth_documents(
     r = spark.range(n_docs)
     host = F.concat(
         F.lit("h"),
-        F.lpad(F.pmod(F.hash(F.col("id")), F.lit(n_hosts)).cast("string"), 4, "0"),
+        F.lpad(F.pmod(F.hash(F.col("id")), F.lit(n_hosts)).cast("string"), 6, "0"),
         F.lit(".com"),
     )
     anchors = F.concat_ws(

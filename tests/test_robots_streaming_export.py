@@ -1,0 +1,142 @@
+"""robots.txt caching, streaming seed intake, ES bulk export."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crawler import export, robots, synth
+from crawler.config import CrawlConfig
+from crawler.loop import Crawl
+from crawler.oracle import Oracle
+
+
+def test_parse_disallow(spark):
+    df = spark.createDataFrame(
+        [("User-agent: *\nDisallow: /private\n\nDisallow: /tmp/x \nAllow: /ok\nDisallow:",)],
+        "t string",
+    )
+    out = df.select(robots.parse_disallow_expr(F.col("t")).alias("p")).collect()[0]["p"]
+    assert out == ["/private", "/tmp/x"]
+    assert robots.py_parse_disallow(
+        "User-agent: *\nDisallow: /private\n\nDisallow: /tmp/x \nAllow: /ok\nDisallow:"
+    ) == ["/private", "/tmp/x"]
+
+
+def test_robots_crawl_equivalence(spark, wh_root):
+    """fetch_robots on: mega.com's /p/1 prefix is never fetched; engine ≡
+    oracle under in-crawl robots fetching."""
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100, wave_ms=300, seed_url_seen=True,
+        max_waves=20, bloom_shards=16, fetch_robots=True,
+    )
+    pages_pd, docs_pd = synth.multihost_fixture(
+        n_hosts=8, pages_per_host=5, mega_host_pages=30
+    )
+    pages, docs = synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd)
+    seeds = ["http://mega.com/p/0", "http://h001.com/p/0"]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, pages, docs)
+    c.run()
+    o = Oracle(pages_pd, docs_pd, cfg).run(seeds)
+
+    fetched_urls = [r["url"] for r in c._read("fetched").select("url").collect()]
+    assert all(not u.startswith("http://mega.com/p/1") for u in fetched_urls)
+    assert all(not u.startswith("http://h001.com/p/3") for u in fetched_urls)
+    # cache table has one row per touched host (incl. negative entries)
+    cache = {
+        r["host"]: list(r["disallow_prefixes"])
+        for r in c._read("robots_cache").collect()
+    }
+    assert cache["mega.com"] == ["/p/1"]
+    assert cache.get("h000.com") == []  # negative cache
+
+    got = {}
+    for r in (
+        c._read("fetched").select("host", "wave", "fetch_ms", "url")
+        .orderBy("host", "wave", "fetch_ms", "url").collect()
+    ):
+        got.setdefault(r["host"], []).append((r["wave"], r["fetch_ms"], r["url"]))
+    for h in set(got) | set(o.order_per_host):
+        assert got.get(h, []) == o.order_per_host.get(h, []), f"host {h}"
+
+
+def test_streaming_seed_intake(spark, wh_root, tmp_path):
+    """S2 analog: readStream file source → foreachBatch frontier merge."""
+    from crawler import schemas, streaming
+    from crawler.config import test_config
+
+    cfg = test_config(max_waves=3)
+    pages_pd, docs_pd = synth.test_server_fixture()
+    c = Crawl(spark, wh_root, cfg)
+    c.init([], synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd))
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "batch1.json", "w") as f:
+        for i in (1, 2):
+            f.write(json.dumps({"url": f"http://localhost:9090/{i}"}) + "\n")
+    with open(drop / "batch2.json", "w") as f:
+        f.write(json.dumps({"url": "http://localhost:9090/3", "priority": 2.0}) + "\n")
+
+    streaming.run_intake(
+        spark, wh_root, str(drop), str(tmp_path / "ckpt"), cfg, once=True
+    )
+    pend = c.wh.read_committed(spark, "frontier_adds", schemas.FRONTIER)
+    urls = sorted(r["url"] for r in pend.collect())
+    assert urls == [f"http://localhost:9090/{i}" for i in (1, 2, 3)]
+    # priority flowed through
+    assert pend.where("priority = 2.0").count() == 1
+    # exactly-once: draining the same directory again adds nothing
+    streaming.run_intake(
+        spark, wh_root, str(drop), str(tmp_path / "ckpt"), cfg, once=True
+    )
+    assert c.wh.read_committed(spark, "frontier_adds", schemas.FRONTIER).count() == 3
+
+
+def test_es_bulk_export_shape(spark):
+    """ESJsonTransformationsSpec golden shape (field names, null pruning,
+    bulk action line routing)."""
+    rows = [
+        (
+            "http://blikk.co/test", "blikk.co", 1500, 200,
+            [{"kind": "text", "text": "OK!", "media_ref": "", "offset": 0}],
+            [],
+        ),
+        ("http://blikk.co/empty", "blikk.co", 3000, 200, None, ["http://a/b"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, tpd string, fetch_ms long, status int,"
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+        "provenance array<string>",
+    )
+    out = export.es_bulk_lines(df, "someApp").collect()
+    by_url = {}
+    for r in out:
+        action, doc = r["bulk"].strip().split("\n")
+        a = json.loads(action)
+        d = json.loads(doc)
+        by_url[a["index"]["_id"]] = (a, d, r["tpd"])
+
+    a, d, tpd = by_url["http://blikk.co/test"]
+    assert a["index"]["_index"] == "someApp"
+    assert a["index"]["_type"] == "fetch_response"
+    assert tpd == "blikk.co"
+    assert d["request_uri"] == "http://blikk.co/test"
+    assert d["request_method"] == "GET"
+    assert d["request_headers"] == [] and d["request_provenance"] == []
+    assert d["response_status"] == 200
+    assert d["response_content_type"] == "text/html"
+    assert d["timestamp"] == 1500
+    import base64
+
+    assert base64.b64decode(d["response_entity"]["_content"]).decode().startswith(
+        "text\x1fOK!"
+    )
+    # null pruning: no spans → no content_type / entity keys at all
+    _, d2, _ = by_url["http://blikk.co/empty"]
+    assert "response_entity" not in d2 and "response_content_type" not in d2
+    assert d2["request_provenance"] == ["http://a/b"]
