@@ -117,13 +117,29 @@ def bloom_probe(
 
 
 def update_bloom(
-    bloom_df: DataFrame, new_keys: DataFrame, cfg: CrawlConfig, wave: int
+    bloom_df: DataFrame,
+    new_keys: DataFrame,
+    cfg: CrawlConfig,
+    wave: int,
+    emit_shards: list[int] | None = None,
 ) -> DataFrame:
     """Fold new (h1, url_hash, shard_id) keys into their shard blobs.
-    Unchanged shards pass through untouched (same blob bytes)."""
+
+    With emit_shards=None, every shard row is emitted (full-table
+    rewrite — init path).  With an explicit shard list, ONLY those
+    shards are emitted (changed shards + any co-located in the same
+    data file) — the incremental path: the caller stitches the result
+    into the manifest with Table.replace_keys, carrying every other
+    shard's file forward untouched."""
     m_bits, k = B.shard_bloom_bits(
         cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
     )
+    if emit_shards is not None:
+        # prune BEFORE the cogroup: unchanged shards' blobs never enter
+        # the shuffle (emit_shards ⊇ new_keys' shards by construction)
+        emit = list(emit_shards)
+        bloom_df = bloom_df.where(F.col("shard_id").isin(emit))
+        new_keys = new_keys.where(F.col("shard_id").isin(emit))
 
     def fold(key, blob: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
         if len(blob) == 0:
@@ -202,6 +218,10 @@ def dedup_candidates(
     Returns the NEW rows only (one per url_canon), in their original
     columns (probe/bookkeeping columns dropped except h1/shard_id which
     the caller needs for the bloom update).
+
+    The returned DataFrame is PERSISTED and materialized; the probe
+    intermediate is unpersisted before returning (no storage leak across
+    waves).  The caller owns unpersisting the result.
     """
     # 1+2. within-wave first-wins folded into the cogrouped bloom probe
     # (one shuffle; globally correct — see bloom_probe); persisted so the
@@ -215,4 +235,7 @@ def dedup_candidates(
     survivors = maybe.join(
         url_seen.select("url_canon"), on="url_canon", how="left_anti"
     )
-    return fresh.unionByName(survivors)
+    result = fresh.unionByName(survivors).persist()
+    result.count()  # materialize so probed can release its storage now
+    probed.unpersist()
+    return result

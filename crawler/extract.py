@@ -20,6 +20,7 @@ the rare deep-relative case.  No per-row Python UDFs.
 
 from __future__ import annotations
 
+import html
 import re
 from urllib.parse import quote, urljoin
 
@@ -29,10 +30,15 @@ from pyspark.sql.functions import pandas_udf
 
 from . import urlnorm
 
-#: a[href] with single/double-quoted value — the synthetic corpus and the
-#: reference goldens (RequestExtractorSpec.scala:29-119) are quoted; a
-#: production swap-in would be an html5 tokenizer behind this same UDF.
-_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)")"""
+#: a[href] with single-quoted, double-quoted, or UNQUOTED value — the
+#: three forms Jsoup's a[href] selector accepts
+#: (RequestExtractor.scala:49-57); a production swap-in would be an
+#: html5 tokenizer behind this same UDF.
+_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s'">][^\s>]*))"""
+
+#: first <base href> of the document — Jsoup resolves abs:href against
+#: it when present (HTML spec: the first base element wins, globally)
+_BASE_RE = r"""(?is)<base\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s'">][^\s>]*))"""
 
 #: chars legal in a URI — if a URL matches, pass through unchanged
 #: (already-escaped golden); else percent-escape (space→%20 golden)
@@ -80,11 +86,32 @@ def _resolve_vec(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     return out
 
 
+def _pick_unescape(groups: tuple[str, ...]) -> str:
+    """First non-empty alternation group, HTML-entity-decoded (Jsoup
+    returns attribute values entity-decoded: &amp; → &)."""
+    h = groups[0] or groups[1] or groups[2]
+    return html.unescape(h) if "&" in h else h
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def find_hrefs_udf(text: pd.Series) -> pd.Series:
-    """All href values of a text span, in document order (C-level regex)."""
-    pairs = text.fillna("").str.findall(_HREF_RE)
-    return pairs.map(lambda ms: [a if a else b for a, b in ms])
+    """All href values of a text span, in document order (C-level regex
+    over the whole batch; the per-match pick/unescape is list-building)."""
+    matches = text.fillna("").str.findall(_HREF_RE)
+    return matches.map(lambda ms: [_pick_unescape(m) for m in ms])
+
+
+@pandas_udf(T.StringType())
+def find_base_href_udf(text: pd.Series) -> pd.Series:
+    """First <base href> of the document text ('' when absent)."""
+    g = text.fillna("").str.extract(_BASE_RE, expand=True)
+    merged = g[0].where(g[0].notna(), g[1])
+    merged = merged.where(merged.notna(), g[2])
+    merged = merged.where(merged.notna(), "")
+    mask = merged.str.contains("&", regex=False)
+    if mask.any():
+        merged[mask] = merged[mask].map(html.unescape)
+    return merged
 
 
 @pandas_udf(T.StringType())
@@ -97,9 +124,14 @@ def tpd_of_url_udf(url: pd.Series) -> pd.Series:
     return urlnorm.pd_tpd(urlnorm.pd_host(url))
 
 
-#: position assigned to location-header links: content links come first
-#: in the reference's extractor output (RequestExtractor.scala:95-100)
-LOCATION_LINK_POS = 1 << 20
+#: position assigned to location-header links: the reference's extractor
+#: returns headerLinks ++ bodyLinks (RequestExtractor.scala:24-26), i.e.
+#: Location links come FIRST — so they sort before every content link
+LOCATION_LINK_POS = -1
+
+#: content link_pos = span_offset · SPAN_POS_STRIDE + href_index; wide
+#: enough that a span's links never collide with the next span's
+SPAN_POS_STRIDE = 1 << 20
 
 
 def extract_links(
@@ -111,11 +143,29 @@ def extract_links(
     links(source_cols..., dest_url, link_source, link_pos).
 
     link_pos is the deterministic within-document order (span offset ×
-    href index; location links last) used for within-wave first-wins
-    dedup tie-breaks and frontier FIFO seq assignment.
+    stride + href index; location links first, matching the reference's
+    headerLinks ++ bodyLinks) used for within-wave first-wins dedup
+    tie-breaks and frontier FIFO seq assignment.
     """
     src = [F.col(c) for c in source_cols]
-    base = urlnorm.base_uri_expr("url")
+    page_base = urlnorm.base_uri_expr("url")
+    # document-level <base href> override (Jsoup abs:href semantics):
+    # cheap JVM instr-gate — only documents containing '<base' pay the
+    # extra regex scan over their concatenated text spans
+    doc_text = F.concat_ws(
+        "",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+    )
+    base = F.when(
+        F.instr(F.lower(doc_text), "<base") > 0,
+        F.coalesce(
+            F.nullif(resolve_url_udf(page_base, find_base_href_udf(doc_text)), F.lit("")),
+            page_base,
+        ),
+    ).otherwise(page_base)
 
     spans = fetched.select(
         *src,
@@ -138,7 +188,10 @@ def extract_links(
             *src,
             "dest_url",
             F.lit("content").alias("link_source"),
-            (F.col("_span_off") * F.lit(4096) + F.col("_href_pos")).alias("link_pos"),
+            (
+                F.col("_span_off").cast("long") * F.lit(SPAN_POS_STRIDE)
+                + F.col("_href_pos")
+            ).alias("link_pos"),
         )
     )
     if same_tpd_only:
@@ -152,7 +205,7 @@ def extract_links(
                 "dest_url"
             ),
             F.lit("location").alias("link_source"),
-            F.lit(LOCATION_LINK_POS).alias("link_pos"),
+            F.lit(LOCATION_LINK_POS).cast("long").alias("link_pos"),
         )
         .where(F.col("dest_url") != "")
     )
@@ -180,6 +233,14 @@ def extract_media_refs(fetched: DataFrame) -> DataFrame:
 # scalar twin for the oracle --------------------------------------------------
 
 _HREF_SCALAR_RE = re.compile(_HREF_RE)
+_BASE_SCALAR_RE = re.compile(_BASE_RE)
+
+
+def _scalar_pick(m: re.Match) -> str:
+    h = m.group(1) if m.group(1) is not None else (
+        m.group(2) if m.group(2) is not None else m.group(3)
+    )
+    return html.unescape(h) if "&" in h else h
 
 
 def py_extract_links(
@@ -190,18 +251,24 @@ def py_extract_links(
 ) -> list[tuple[str, str, int]]:
     """Single-doc extraction, identical semantics — (dest, source, pos)."""
     base = re.sub(r"[?#].*$", "", url)
+    doc_text = "".join(s["text"] or "" for s in spans or [] if s["kind"] == "text")
+    if "<base" in doc_text.lower():
+        bm = _BASE_SCALAR_RE.search(doc_text)
+        if bm:
+            resolved = resolve_link(base, _scalar_pick(bm))
+            base = resolved or base
     out: list[tuple[str, str, int]] = []
     for span in spans or []:
         if span["kind"] != "text":
             continue
         for i, m in enumerate(_HREF_SCALAR_RE.finditer(span["text"] or "")):
-            href = m.group(1) if m.group(1) is not None else m.group(2)
+            href = _scalar_pick(m)
             dest = resolve_link(base, href)
             if not dest:
                 continue
             if same_tpd_only and urlnorm.tpd_of(dest) != urlnorm.tpd_of(url):
                 continue
-            out.append((dest, "content", span["offset"] * 4096 + i))
+            out.append((dest, "content", span["offset"] * SPAN_POS_STRIDE + i))
     if location:
         m = re.match(urlnorm._HOSTURI_RE, url)
         host_uri = m.group(1) if m else url

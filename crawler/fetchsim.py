@@ -61,10 +61,12 @@ def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataF
     )
     known_hosts = pages.select(F.col("host").alias("_khost")).distinct()
 
+    # no broadcast hints: the web fixture / host set are unbounded at
+    # crawl scale — AQE broadcasts while small, shuffle-joins when not
     j = scheduled.join(
         web, scheduled["url"] == web["_page_url"], how="left"
     ).join(
-        F.broadcast(known_hosts),
+        known_hosts,
         scheduled["host"] == F.col("_khost"),
         how="left",
     )

@@ -123,7 +123,9 @@ class Crawl:
             versions["url_seen"] = self._t("url_seen").overwrite(
                 spark.createDataFrame([], schemas.URL_SEEN)
             )
-        versions["url_seen_bloom"] = self._t("url_seen_bloom").overwrite(bloom0)
+        versions["url_seen_bloom"] = self._t("url_seen_bloom").overwrite_keyed(
+            bloom0, "shard_id"
+        )
         self.wh.catalog.commit(
             -1, versions, config=cfg.to_dict(), stats={"fetched": 0, "bytes": 0}
         )
@@ -201,8 +203,8 @@ class Crawl:
         cand = dedup.with_url_keys(cand, "dest_url", cfg).persist()
         m.extracted = cand.count()
 
-        # ---- dedupe vs URL-seen (F2-F4)
-        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg).persist()
+        # ---- dedupe vs URL-seen (F2-F4); returns persisted+materialized
+        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
         m.emitted = new_links.count()
 
         # ---- stage all table versions against COMMITTED bases
@@ -212,6 +214,26 @@ class Crawl:
             if robots_version != cat.version_of("robots_cache")
             else {}
         )
+        # incremental bloom commit: rewrite only the data files whose
+        # shards gained keys; every other shard file carries forward by
+        # reference (byte-identical paths in the new manifest)
+        t_bloom = self._t("url_seen_bloom")
+        base_bloom = base.get("url_seen_bloom", 0)
+        changed_shards = [
+            r["shard_id"] for r in new_links.select("shard_id").distinct().collect()
+        ]
+        rewrite = t_bloom.keys_needing_rewrite(base_bloom, changed_shards)
+        if rewrite is None:  # no per-file key metadata yet: full rewrite once
+            bloom_version = t_bloom.overwrite_keyed(
+                dedup.update_bloom(bloom_df, new_links, cfg, wave), "shard_id"
+            )
+        else:
+            bloom_version = t_bloom.replace_keys(
+                dedup.update_bloom(bloom_df, new_links, cfg, wave, emit_shards=rewrite),
+                base_bloom,
+                "shard_id",
+            )
+
         new_rows = frontier.links_to_frontier(new_links, cfg, wave)
         versions = {
             "frontier_adds": self._t("frontier_adds").append(
@@ -229,9 +251,7 @@ class Crawl:
                 ),
                 base_version=base.get("url_seen", 0),
             ),
-            "url_seen_bloom": self._t("url_seen_bloom").overwrite(
-                dedup.update_bloom(bloom_df, new_links, cfg, wave)
-            ),
+            "url_seen_bloom": bloom_version,
             "fetched": self._t("fetched").append(
                 fetched_raw, base_version=base.get("fetched", 0)
             ),
@@ -267,16 +287,28 @@ class Crawl:
                 spark.createDataFrame([], schemas.CONSUMED)
             )
 
-        # ---- one atomic commit for the whole wave
-        st = cat.state()["stats"]
-        self.wh.catalog.commit(
-            wave,
-            {**versions, **extra_versions},
-            stats={
-                "fetched": st.get("fetched", 0) + m.delivered,
-                "bytes": st.get("bytes", 0) + m.bytes_fetched,
-            },
-        )
+        # ---- one atomic commit for the whole wave, serialized with the
+        # streaming intake: if intake appended to frontier_adds mid-wave,
+        # rebase our staged version onto the moved base (manifest
+        # arithmetic only — no data rewrite), so neither writer's rows
+        # are dropped.  Intake rows carry not_before_wave > wave, so they
+        # were not consumable this wave in any case.
+        with cat.lock():
+            cur_state = cat.state()
+            cur_adds = cur_state["tables"].get("frontier_adds", 0)
+            if cur_adds != base.get("frontier_adds", 0):
+                versions["frontier_adds"] = self._t("frontier_adds").rebase_delta(
+                    versions["frontier_adds"], base.get("frontier_adds", 0), cur_adds
+                )
+            st = cur_state["stats"]
+            self.wh.catalog.commit(
+                wave,
+                {**versions, **extra_versions},
+                stats={
+                    "fetched": st.get("fetched", 0) + m.delivered,
+                    "bytes": st.get("bytes", 0) + m.bytes_fetched,
+                },
+            )
         m.pending_after = self.pending_count()
 
         for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links,

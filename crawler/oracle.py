@@ -124,7 +124,11 @@ class Oracle:
                 allowed, blocked = [], []
                 for r in eligible:
                     prefixes = self.robots.get(r.host)
-                    path = "/" + r.url.split("://", 1)[1].split("/", 1)[1] if "/" in r.url.split("://", 1)[1] else "/"
+                    rest = r.url.split("://", 1)[1]
+                    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+                    # path only — query/fragment never match robots
+                    # prefixes (mirrors parse_url(url,'PATH') engine-side)
+                    path = path.split("?", 1)[0].split("#", 1)[0] or "/"
                     if prefixes and any(path.startswith(p) for p in prefixes):
                         blocked.append(r)
                     else:
@@ -135,7 +139,9 @@ class Oracle:
                 delay = cfg.delay_for(tpd)
                 st = state.get(tpd)
                 t = max(st.next_allowed, win_start) if st else win_start + delay
-                allowed.sort(key=lambda r: (-r.priority, r.seq))
+                # url_canon breaks (priority, seq) ties — two hosts
+                # sharing a TPD can carry equal seq values
+                allowed.sort(key=lambda r: (-r.priority, r.seq, r.url_canon))
                 emitted = []
                 for r in allowed:
                     if t >= win_end:

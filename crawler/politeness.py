@@ -20,15 +20,20 @@ delay this is exactly the reference's one-per-tick.
 
 Skew story (north_rule): the per-TPD group only ever needs its top-K
 candidates (K = ceil(wave_ms/delay)), so a mega-host never funnels its
-millions of pending rows into one pandas group — a SALTED two-phase
-top-k (partition (tpd, pmod(seq,S)) → top-K per salt → top-K per tpd)
+millions of pending rows into one group — a SALTED two-phase top-k
+(partition (tpd, pmod(seq,S)) → top-K per salt → exact top-K per tpd)
 prunes first.  Any true top-K row is top-K within its salt bucket, so
 the prune is lossless.  AQE skew-join splitting stays on for the joins.
+
+The emit itself is pure JVM: ticks are an arithmetic progression, so
+fetch_ms = start + (rank-1)·delay over an exact per-TPD row_number of
+the (bounded) candidate set — no Python anywhere in scheduling.  The
+full queue order is (priority DESC, seq ASC, url_canon ASC); url_canon
+breaks seq ties deterministically when two hosts share a TPD.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
@@ -46,6 +51,12 @@ SCHEDULED = T.StructType(
 
 _FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 
+def queue_order() -> list:
+    """The per-TPD queue order (FrontierThrottler FIFO + priority on
+    top); url_canon is the deterministic tie-break for equal (priority,
+    seq) — two hosts sharing a TPD can carry equal seq values."""
+    return [F.col("priority").desc(), F.col("seq").asc(), F.col("url_canon").asc()]
+
 
 def delay_expr(tpd_col: str, cfg: CrawlConfig):
     """interval = customDomainDelays.get(tpd) | perDomainDelay
@@ -62,10 +73,18 @@ def delay_expr(tpd_col: str, cfg: CrawlConfig):
 
 def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(allowed, blocked) by robots.txt disallow prefixes — pure JVM
-    (left join on host + EXISTS over the prefix array)."""
+    (left join on host + EXISTS over the prefix array).
+
+    No broadcast hint: the robots cache holds one row per ever-seen host
+    (unbounded at web scale) — AQE picks broadcast while it is small and
+    falls back to a shuffle join on `host` when it is not."""
     r = robots.select("host", "disallow_prefixes")
-    joined = pending.join(F.broadcast(r), on="host", how="left")
-    path = F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("/"))
+    joined = pending.join(r, on="host", how="left")
+    # parse_url returns '' (not NULL) for a bare-host URL like
+    # http://host — 'Disallow: /' must still block it, so '' → '/'
+    path = F.coalesce(
+        F.nullif(F.expr("parse_url(url, 'PATH')"), F.lit("")), F.lit("/")
+    )
     blocked_pred = F.col("disallow_prefixes").isNotNull() & F.exists(
         "disallow_prefixes", lambda p: path.startswith(p)
     )
@@ -75,16 +94,15 @@ def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
 
 
 def _topk_salted(df: DataFrame, k_col: str, cfg: CrawlConfig) -> DataFrame:
-    """Lossless salted per-TPD candidate prune by (priority DESC, seq ASC).
+    """Lossless salted per-TPD candidate prune by QUEUE_ORDER.
 
     One window over (tpd, salt) keeps ≤K rows per salt bucket — any row
     in the true per-TPD top-K is in its bucket's top-K, so the union
-    (≤ K·S rows per TPD) is a superset of the exact top-K.  The emit
-    stage sorts its (bounded) group and truncates to the wave budget, so
-    a second exact top-K window would be a redundant full shuffle."""
-    order = [F.col("priority").desc(), F.col("seq").asc()]
+    (≤ K·S rows per TPD) is a superset of the exact top-K.  The exact
+    rank stage then runs over this bounded set, so a mega-host's
+    millions of pending rows never sort in one partition."""
     salt = F.pmod(F.col("seq"), F.lit(cfg.skew_salt_buckets))
-    w1 = Window.partitionBy(F.col("tpd"), salt).orderBy(*order)
+    w1 = Window.partitionBy(F.col("tpd"), salt).orderBy(*queue_order())
     return (
         df.withColumn("_rn1", F.row_number().over(w1))
         .where(F.col("_rn1") <= F.col(k_col))
@@ -127,25 +145,26 @@ def schedule_wave(
     st = host_state.select("tpd", "next_allowed_ms")
     candidates = candidates.join(st, on="tpd", how="left")
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True])
-        delay = int(pdf["delay_ms"].iloc[0])
-        na = pdf["next_allowed_ms"].iloc[0]
-        # fresh schedule: first tick one interval after creation
-        start = int(na) if pd.notna(na) else win_start + delay
-        start = max(start, win_start)
-        # ticks are an arithmetic progression — emit count is arithmetic,
-        # no row loop (this is the wave's hot path at 1e10 scale)
-        n_emit = 0 if start >= win_end else min(
-            len(pdf), -(-(win_end - start) // delay)
+    # exact per-TPD queue rank over the bounded candidate set, then the
+    # tick progression in closed form — entirely JVM, no Python stage:
+    #   start    = max(next_allowed | win_start+delay, win_start)
+    #   fetch_ms = start + (rank-1)·delay,  emitted while < win_end
+    w2 = Window.partitionBy("tpd").orderBy(*queue_order())
+    start = F.greatest(
+        F.coalesce(
+            F.col("next_allowed_ms"), F.lit(win_start).cast("long") + F.col("delay_ms")
+        ),
+        F.lit(win_start).cast("long"),
+    )
+    scheduled = (
+        candidates.withColumn("_rn", F.row_number().over(w2))
+        .withColumn(
+            "fetch_ms",
+            (start + (F.col("_rn") - 1).cast("long") * F.col("delay_ms")).cast("long"),
         )
-        res = pdf.iloc[:n_emit].drop(columns=["next_allowed_ms"]).copy()
-        res["fetch_ms"] = start + np.arange(n_emit, dtype=np.int64) * delay
-        return res
-
-    scheduled = candidates.groupBy("tpd").applyInPandas(emit, schema=SCHEDULED)
+        .where(F.col("fetch_ms") < F.lit(win_end))
+        .select(*_FRONTIER_COLS, "delay_ms", "fetch_ms")
+    )
     return scheduled, blocked
 
 

@@ -8,6 +8,16 @@ and merges them into the frontier via foreachBatch — the same
 `frontier_adds` append the wave loop reads, so the batch-iterative
 crawl and the streaming intake compose.
 
+Exactly-once, concretely:
+  - the catalog commit records the applied batch id
+    (`intake_last_batch`); a replayed batch (crash between the catalog
+    commit and the streaming checkpoint write) is a no-op, so the
+    append is idempotent per batch id.
+  - intake and wave commits are serialized by the catalog lock; the
+    wave loop additionally REBASES its staged frontier_adds version
+    onto any intake appends that landed mid-wave
+    (Table.rebase_delta), so neither writer drops the other's rows.
+
 Shape: JSON-lines files with {"url": ..., "priority": ...} records.
 `run_intake(..., once=True)` uses availableNow semantics (drain what
 exists, then stop) — deterministic for tests; production would leave
@@ -32,16 +42,25 @@ SEED_DROP_SCHEMA = T.StructType(
     ]
 )
 
+#: high bit of the low seq word — separates intake-assigned ranks from
+#: loop-assigned ranks for the same wave (no collisions between the two
+#: writers' seq namespaces)
+INTAKE_SEQ_BIT = 1 << 31
+
 
 def requests_to_frontier_rows(batch: DataFrame, cfg: CrawlConfig, wave: int) -> DataFrame:
     """Normalize raw request records into FRONTIER rows (FrontierSink
-    semantics: key by TPD, preserve submission order within the batch)."""
+    semantics: key by TPD).  Within a batch, rank is ordered by
+    (source file, url) — deterministic under replay; per-host FIFO
+    across batches is carried by the batch sequence itself (later
+    batches get later waves or later catalog positions)."""
     from pyspark.sql.window import Window
 
     canon = urlnorm.canonicalize_expr("url")
     host = urlnorm.host_expr("url")
+    batch = batch.withColumn("_file", F.input_file_name())
     rank = F.row_number().over(
-        Window.partitionBy(host).orderBy(F.col("url"))
+        Window.partitionBy(host).orderBy(F.col("_file"), F.col("url"))
     )
     return batch.select(
         F.col("url"),
@@ -52,7 +71,9 @@ def requests_to_frontier_rows(batch: DataFrame, cfg: CrawlConfig, wave: int) -> 
         F.lit("GET").alias("method"),
         F.array().cast("array<string>").alias("provenance"),
         F.coalesce(F.col("priority"), F.lit(0.0)).alias("priority"),
-        (F.lit((wave + 1) << 32) + rank.cast("long")).alias("seq"),
+        (
+            F.lit(((wave + 1) << 32) + INTAKE_SEQ_BIT).cast("long") + rank.cast("long")
+        ).alias("seq"),
         F.coalesce(F.col("not_before_wave"), F.lit(wave + 1)).cast("int").alias(
             "not_before_wave"
         ),
@@ -68,13 +89,8 @@ def run_intake(
     cfg: CrawlConfig,
     once: bool = True,
 ) -> None:
-    """Stream the seed drop directory into frontier_adds.
-
-    foreachBatch gives exactly-once appends against the warehouse: the
-    streaming checkpoint records the batch id; the append is idempotent
-    per batch because a replayed batch re-stages the same rows against
-    the same committed base before the catalog moves.
-    """
+    """Stream the seed drop directory into frontier_adds (see module
+    docstring for the exactly-once mechanics)."""
     from . import schemas
 
     wh = Warehouse(warehouse_root)
@@ -85,11 +101,7 @@ def run_intake(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        wave = wh.catalog.state()["wave"]
-        rows = requests_to_frontier_rows(batch, cfg, wave)
-        t = wh.table("frontier_adds", schemas.FRONTIER)
-        v = t.append(rows, base_version=wh.catalog.version_of("frontier_adds"))
-        wh.catalog.commit(wave, {"frontier_adds": v})
+        apply_intake_batch(wh, batch, batch_id, cfg)
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -101,3 +113,28 @@ def run_intake(
         q.awaitTermination()
     else:
         writer.start()
+
+
+def apply_intake_batch(
+    wh: Warehouse, batch: DataFrame, batch_id: int, cfg: CrawlConfig
+) -> bool:
+    """Idempotent, lock-serialized application of one intake micro-batch.
+    Returns True if applied, False if skipped as a replay."""
+    from . import schemas
+
+    state0 = wh.catalog.state()
+    if batch_id <= state0.get("intake_last_batch", -1):
+        return False  # replayed batch after a crash — already applied
+    rows = requests_to_frontier_rows(batch, cfg, state0["wave"])
+    t = wh.table("frontier_adds", schemas.FRONTIER)
+    # append + commit under the lock (seed batches are small — the wave
+    # loop holds this lock only for its manifest-arithmetic commit)
+    with wh.catalog.lock():
+        st = wh.catalog.state()
+        if batch_id <= st.get("intake_last_batch", -1):
+            return False
+        v = t.append(rows, base_version=st["tables"].get("frontier_adds", 0))
+        wh.catalog.commit(
+            st["wave"], {"frontier_adds": v}, intake_last_batch=batch_id
+        )
+    return True

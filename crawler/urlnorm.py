@@ -8,10 +8,12 @@ Reference semantics:
   - host / hostUri / baseUri (Requests.scala:41-48): java.net.URI parts.
   - topPrivateDomain (Requests.scala:50-53): Guava eTLD+1, fallback
     "notpd" for hosts not under a public suffix (localhost, IPs, bare
-    TLDs).  For deterministic synthetic parity we embed a small
-    public-suffix subset covering the reference's pinned goldens
-    (HttpRequestSpec.scala:22-29: www.google.com → google.com,
-    amazon.co.jp / blog.amazon.co.jp → amazon.co.jp).
+    TLDs).  The suffix data is a curated snapshot of the public suffix
+    list (crawler/psl.py — every ccTLD, major gTLDs, common ccTLD
+    second-levels, popular private suffixes like github.io); the
+    reference's pinned goldens (HttpRequestSpec.scala:22-29:
+    www.google.com → google.com, amazon.co.jp / blog.amazon.co.jp →
+    amazon.co.jp) are covered by it.
 
 Two twin implementations, tested equal on goldens:
   *_expr   — pyspark Column expressions (JVM-side, codegen'd; the hot path)
@@ -25,26 +27,7 @@ import re
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
-#: multi-part public suffixes (subset; swap in the full publicsuffix.org
-#: list for production — the rule shape is identical)
-SUFFIX2 = frozenset(
-    {
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "co.uk", "org.uk", "ac.uk",
-        "gov.uk", "co.kr", "co.in", "co.nz", "co.za", "com.au", "com.br",
-        "com.cn", "com.mx", "com.ar", "com.tr", "com.sg", "com.hk",
-    }
-)
-
-#: TLDs we treat as "under a public suffix" — anything else (localhost,
-#: .local, bare names) falls back to notpd like Guava's isUnderPublicSuffix
-TLDS = frozenset(
-    {
-        "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
-        "de", "fr", "jp", "uk", "kr", "in", "nz", "za", "au", "br", "cn",
-        "mx", "ar", "tr", "sg", "hk", "us", "ca", "it", "es", "nl", "se",
-        "no", "ru", "pl", "ch", "at", "be", "dk", "fi", "example",
-    }
-)
+from .psl import SUFFIX2, TLDS  # noqa: F401  (re-exported; tests import from here)
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 _HOST_RE = _SCHEME_RE + r"(?:[^/?#@]*@)?([^/?#:]*)"
@@ -97,13 +80,13 @@ def tpd_expr(host: str | Column) -> Column:
     last3 = F.when(
         n >= 3, F.concat_ws(".", F.element_at(labels, -3), last2)
     ).otherwise(F.lit(NOTPD))
-    tlds = F.array([F.lit(t) for t in sorted(TLDS)])
-    suf2 = F.array([F.lit(s) for s in sorted(SUFFIX2)])
+    # isin over the big literal sets compiles to Catalyst InSet (hash
+    # lookup) — O(1) per row however large the vendored PSL grows
     return (
         F.when(n < 2, F.lit(NOTPD))
         .when(h.rlike(_IPV4_RE), F.lit(NOTPD))
-        .when(~F.array_contains(tlds, last1), F.lit(NOTPD))
-        .when(F.array_contains(suf2, last2), last3)
+        .when(~last1.isin(*sorted(TLDS)), F.lit(NOTPD))
+        .when(last2.isin(*sorted(SUFFIX2)), last3)
         .otherwise(last2)
     )
 

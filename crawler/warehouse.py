@@ -28,9 +28,11 @@ is what makes resume exact (SURVEY.md §2.6 O8).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,6 +143,126 @@ class Table:
         )
         return v
 
+    # ---- keyed snapshots (per-file key tracking → partial rewrites) ----
+    #
+    # For blob tables keyed by a low-cardinality column (the bloom
+    # shards), recording each data file's key set in the manifest lets a
+    # wave rewrite ONLY the files whose shards changed and carry every
+    # other file forward untouched — the Iceberg overwrite-by-filter
+    # analog.  Without this, every wave rewrites every shard (~24 GB per
+    # wave at the 4096-shard scale knob) no matter how few changed.
+
+    def _file_keys(self, files: list[str], key_col: str) -> dict[str, list]:
+        import pyarrow.parquet as pq
+
+        out = {}
+        for f in files:
+            out[f] = sorted(set(pq.read_table(f, columns=[key_col])[key_col].to_pylist()))
+        return out
+
+    def overwrite_keyed(self, df: DataFrame, key_col: str) -> int:
+        """overwrite + record each data file's key set in the manifest."""
+        new_files, new_rows = self._write_datafiles(df)
+        v = self.latest_version() + 1
+        _atomic_write_json(
+            self._meta_path(v),
+            {
+                "version": v,
+                "parent": None,
+                "files": new_files,
+                "rows": new_rows,
+                "file_keys": self._file_keys(new_files, key_col),
+            },
+        )
+        return v
+
+    def keys_needing_rewrite(self, version: int, changed: list) -> list | None:
+        """Expand a changed-key set to file granularity: the union of key
+        sets of every file holding at least one changed key.  Returns
+        None when any file lacks key metadata (caller must rewrite the
+        whole table once to establish it)."""
+        m = self._manifest(version)
+        fk = m.get("file_keys")
+        if fk is None or any(f not in fk for f in m["files"]):
+            return None
+        changed_set = set(changed)
+        out: set = set()
+        for f in m["files"]:
+            ks = fk[f]
+            if changed_set.intersection(ks):
+                out.update(ks)
+        return sorted(out)
+
+    def replace_keys(self, df: DataFrame, base_version: int, key_col: str) -> int:
+        """Stage a new version: parent files holding any of df's keys are
+        dropped, df's files appended, all other parent files carried
+        forward BY REFERENCE (same paths, zero rewrite).  The caller must
+        ensure df carries rows for EVERY key of every dropped file — use
+        keys_needing_rewrite to expand the changed set to file
+        granularity first."""
+        import pyarrow.parquet as pq
+
+        new_files, new_rows = self._write_datafiles(df)
+        new_keys: set = set()
+        nk = self._file_keys(new_files, key_col)
+        for ks in nk.values():
+            new_keys.update(ks)
+        parent = self._manifest(base_version)
+        fk = dict(parent.get("file_keys") or {})
+        keep, dropped_rows = [], 0
+        for f in parent["files"]:
+            if set(fk.get(f, ())) & new_keys:
+                dropped_rows += pq.ParquetFile(f).metadata.num_rows
+                fk.pop(f, None)
+            else:
+                keep.append(f)
+        fk.update(nk)
+        v = self.latest_version() + 1
+        _atomic_write_json(
+            self._meta_path(v),
+            {
+                "version": v,
+                "parent": base_version,
+                "files": keep + new_files,
+                "rows": parent.get("rows", 0) - dropped_rows + new_rows,
+                "file_keys": fk,
+            },
+        )
+        return v
+
+    def rebase_delta(self, staged: int, old_base: int, new_base: int) -> int:
+        """Rebase a staged version onto a base that moved underneath it
+        (optimistic concurrency, the Iceberg commit-retry analog).
+
+        New manifest = files(staged) + (files(new_base) − files(old_base))
+        — i.e. keep everything the stager produced AND everything a
+        concurrent appender added since old_base.  Sound when the
+        concurrent writer only APPENDS (the streaming intake): for an
+        append staged off old_base this equals files(new_base) + the
+        stager's new files; for an overwrite (compaction) it carries the
+        concurrent appends into the rewritten snapshot."""
+        if new_base == old_base:
+            return staged
+        staged_m = self._manifest(staged)
+        old_files = set(self.files(old_base))
+        delta = [f for f in self.files(new_base) if f not in old_files]
+        delta_rows = 0
+        if delta:
+            import pyarrow.parquet as pq
+
+            delta_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in delta)
+        v = self.latest_version() + 1
+        _atomic_write_json(
+            self._meta_path(v),
+            {
+                "version": v,
+                "parent": staged,
+                "files": staged_m["files"] + delta,
+                "rows": staged_m.get("rows", 0) + delta_rows,
+            },
+        )
+        return v
+
 
 class Catalog:
     """Atomic multi-table snapshot pointer (the Iceberg catalog analog).
@@ -165,6 +287,36 @@ class Catalog:
 
     def version_of(self, table: str) -> int:
         return self.state()["tables"].get(table, 0)
+
+    @contextlib.contextmanager
+    def lock(self, timeout_s: float = 60.0):
+        """Cross-process commit mutex (lockfile, O_EXCL) serializing
+        read-modify-write commit sequences — the wave loop and the
+        streaming intake both take it, so neither can clobber the
+        other's frontier_adds pointer.  Stale locks (holder died) are
+        broken after `timeout_s`."""
+        lock_path = os.path.join(self.root, "_catalog.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    try:  # holder likely died mid-commit: break the lock
+                        os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+                else:
+                    time.sleep(0.02)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
 
     def commit(self, wave: int, table_versions: dict[str, int], **extra) -> None:
         st = self.state()

@@ -166,3 +166,65 @@ def test_scalar_twin_matches(spark):
         ("http://h.example.com/dir/b/c", "content"),
         ("http://h.example.com/redir", "location"),
     ]
+
+
+def test_unquoted_href(spark):
+    """Jsoup accepts unquoted attribute values: <a href=/x>."""
+    f = _fetched(
+        spark,
+        [("http://somesite.com", "somesite.com",
+          "<a href=/unquoted>1</a> <a href=http://other.com/abs>2</a>", None)],
+    )
+    assert _dests(extract.extract_links(f)) == {
+        "http://somesite.com/unquoted",
+        "http://other.com/abs",
+    }
+
+
+def test_entity_decoded_href(spark):
+    """Jsoup returns attribute values entity-decoded: &amp; → &."""
+    f = _fetched(
+        spark,
+        [("http://somesite.com", "somesite.com",
+          "<a href='/p?a=1&amp;b=2'>1</a>", None)],
+    )
+    assert _dests(extract.extract_links(f)) == {"http://somesite.com/p?a=1&b=2"}
+
+
+def test_base_href_override(spark):
+    """<base href> rebases relative content links (Jsoup abs:href);
+    Location headers still resolve against the host URI."""
+    f = _fetched(
+        spark,
+        [("http://somesite.com/deep/page", "somesite.com",
+          "<base href='http://cdn.somesite.com/root/'><a href='x.html'>1</a>",
+          "/loc")],
+    )
+    assert _dests(extract.extract_links(f)) == {
+        "http://cdn.somesite.com/root/x.html",
+        "http://somesite.com/loc",
+    }
+    # scalar twin agrees
+    spans = [{"kind": "text",
+              "text": "<base href='http://cdn.somesite.com/root/'><a href='x.html'>1</a>",
+              "media_ref": "", "offset": 0}]
+    py = extract.py_extract_links("http://somesite.com/deep/page", spans, "/loc")
+    assert {d for d, _, _ in py} == {
+        "http://cdn.somesite.com/root/x.html",
+        "http://somesite.com/loc",
+    }
+
+
+def test_location_links_order_first(spark):
+    """headerLinks ++ bodyLinks (RequestExtractor.scala:24-26): the
+    Location link sorts before every content link by link_pos."""
+    f = _fetched(
+        spark,
+        [("http://somesite.com", "somesite.com",
+          "<a href='/body1'>1</a>", "http://somesite.com/fromheader")],
+    )
+    out = extract.extract_links(f).orderBy("link_pos").collect()
+    assert [r["dest_url"] for r in out] == [
+        "http://somesite.com/fromheader",
+        "http://somesite.com/body1",
+    ]

@@ -90,3 +90,24 @@ def test_provenance_append_keeps_last_10(spark):
     ).collect()[0]["p"]
     assert out == [str(i) for i in range(3, 12)] + ["src"]
     assert len(out) == 10
+
+
+def test_tpd_psl_snapshot(spark):
+    """Vendored-PSL cases beyond the original subset: multi-level ccTLD
+    registrations and PSL private-section suffixes (github.io)."""
+    cases = [
+        ("foo.github.io", "foo.github.io"),  # private suffix: eTLD+1 is 3 labels
+        ("x.com.tw", "x.com.tw"),
+        ("a.b.com.tw", "b.com.tw"),
+        ("shop.example.co.uk", "example.co.uk"),
+        ("gov.uk", "notpd"),  # bare public suffix
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("foo.blogspot.com", "foo.blogspot.com"),
+        ("a.example.dev", "example.dev"),
+        ("x.y.example.com.br", "example.com.br"),
+    ]
+    ins = [i for i, _ in cases]
+    outs = [o for _, o in cases]
+    assert [urlnorm._tpd_one(i) for i in ins] == outs
+    assert _spark_eval(spark, urlnorm.tpd_expr, ins) == outs
+    assert list(urlnorm.pd_tpd(pd.Series(ins))) == outs
