@@ -4,13 +4,12 @@
 politeness → fetch-sim → extract → dedup → merge) on the ported
 TestHttpServer ring fixture and returns the fetched-documents DataFrame.
 
-``queries()`` / ``oracle_sql()`` carry the SQL-expressible operators
-from SURVEY.md §2 plus the training-data pipeline operators (dedup
-family / ANN / text analysis) over the driver's testdata tables; each
-Spark query has a value-identical DuckDB oracle (md5-based hashing keeps
-cross-engine determinism; floats are rounded).  Non-SQL-expressible ops
-(simhash UDF, LSH-bucketed ANN, media features) appear without oracles
-→ rows-only checks.
+``queries()`` / ``oracle_sql()`` carry the operators from SURVEY.md §2
+plus the training-data pipeline operators (dedup family / ANN / text
+analysis / multimodal plumbing) over the driver's testdata tables;
+EVERY query has a value-identical DuckDB oracle (md5-based hashing and
+seed-pinned hyperplane literals keep cross-engine determinism; floats
+are rounded).
 """
 
 from __future__ import annotations
@@ -171,28 +170,90 @@ def _q_minhash_words(spark, sf):
 
 
 def _q_simhash(spark, sf):
-    """SimHash fingerprints (vectorized Arrow UDF) — no SQL oracle."""
-    from crawler.textops import simhash64_udf
+    """SimHash fingerprints: JVM md5 token hashing + vectorized numpy
+    bit-vote, reported as two unsigned 32-bit halves so the DuckDB
+    oracle (pure SQL bit-vote over the same md5 halves) can reproduce
+    the values without signed-64 overflow games."""
+    from crawler.textops import simhash64_expr
 
     docs = _read(spark, sf, "documents")
+    sim = simhash64_expr("text")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        simhash64_udf("text").alias("simhash"),
+        F.shiftrightunsigned(sim, 32).alias("sim_hi"),
+        sim.bitwiseAND(F.lit(0xFFFFFFFF)).alias("sim_lo"),
+    )
+
+
+#: MinHash/LSH banding parameters shared by the Spark query and the
+#: DuckDB oracle (word-level signatures; md5 hex-string min keeps both
+#: engines value-identical — fixed-width lowercase hex orders like the
+#: numeric value).  4 rows/band keeps bucket collision selective enough
+#: that near-dup clusters don't explode the candidate join.
+_LSH_HASHES = 16
+_LSH_BANDS = 4
+
+
+def _lsh_candidate_pairs(spark, sf):
+    """Banded-LSH candidate pairs: equal md5-signature band slice →
+    same bucket → pair.  The self-join is keyed on (band, bucket) —
+    never an all-pairs cross join; this IS the scale path."""
+    rows = _LSH_HASHES // _LSH_BANDS
+    docs = _read(spark, sf, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+
+    def mh(i: int):
+        prefix = f"{i}|"  # closure-bound (two-arg lambda would rebind)
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+        ).alias(f"mh{i}")
+
+    sigs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[mh(i) for i in range(_LSH_HASHES)],
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
 def _q_ngram_jaccard_dups(spark, sf):
-    """n-gram Jaccard near-dup pairs above 0.8 among first 200 docs (the
-    quadratic verify stage; LSH prunes candidates at scale)."""
-    docs = _read(spark, sf, "documents").where("doc_id < 200")
+    """Near-dup verification over LSH candidates (the scale path:
+    minhash-band blocking → exact Jaccard only on colliding pairs —
+    the full corpus is never n²-joined)."""
+    pairs = _lsh_candidate_pairs(spark, sf)
+    docs = _read(spark, sf, "documents")
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_distinct(F.split(F.lower("text"), " ")).alias("sh"),
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+        )
         .select(
             "doc_a", "doc_b",
             F.round(
@@ -226,14 +287,17 @@ def _q_knn_cosine(spark, sf):
 
 
 def _q_knn_lsh(spark, sf):
-    """LSH-bucketed ANN (scale path) — no SQL oracle (hyperplane lits)."""
+    """LSH-bucketed ANN (scale path): deterministic hyperplanes (seed
+    42) shared with the DuckDB oracle, cosine rounded for cross-engine
+    stability."""
     from crawler.textops import knn_lsh_bucketed
 
     emb = _read(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
-    return knn_lsh_bucketed(emb, q, k=10, n_planes=6)
+    out = knn_lsh_bucketed(emb.where("vec_id != 0"), q, k=10, n_planes=6)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_langid(spark, sf):
@@ -330,15 +394,20 @@ def _q_events_window(spark, sf):
 
 
 def _q_media_features(spark, sf):
-    """Multimodal plumbing (mapInPandas, deterministic fake decode) —
-    no SQL oracle."""
+    """Multimodal plumbing (mapInPandas over opaque refs, deterministic
+    fake decode — md5-derived features); the DuckDB oracle reproduces
+    the same bytes from md5 hex, so the whole pipeline is value-checked."""
     from crawler.textops import media_features
 
-    docs = _read(spark, sf, "documents").limit(500)
+    docs = _read(spark, sf, "documents").where("doc_id < 500")
     refs = docs.select(
         F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref")
     )
-    return media_features(refs).select("media_ref", "kind", "n_bytes")
+    out = media_features(refs)
+    return out.select(
+        "media_ref", "kind", "n_bytes",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -364,6 +433,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "media_features": _q_media_features,
     }
+
+
+def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """Mirror of knn_lsh_bucketed: same seed-42 float64 hyperplane
+    literals, same sign-bit bucket, same cosine — pure DuckDB SQL."""
+    from crawler.textops import lsh_planes
+
+    planes = lsh_planes(n_planes, dim)
+    lits = ["[" + ", ".join(repr(float(w)) for w in p) + "]" for p in planes]
+    bucket = lambda v: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({v}, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qb AS (SELECT ({bucket('qv')}) AS qbucket FROM q)
+        SELECT vec_id,
+               round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM e, q, qb
+        WHERE vec_id != 0 AND ({bucket('v')}) = qbucket
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _ngram_lsh_oracle_sql() -> str:
+    rows = _LSH_HASHES // _LSH_BANDS
+    mh_cols = ",\n                   ".join(
+        f"min(md5('{i}|' || w)) AS mh{i}" for i in range(_LSH_HASHES)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
+            b=b,
+            expr=" || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_LSH_BANDS)
+    )
+    jac = ("round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+          FROM documents
+        ),
+        sigs AS (
+          SELECT doc_id,
+                   {mh_cols}
+          FROM toks GROUP BY doc_id
+        ),
+        buckets AS (
+              {band_selects}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+          FROM documents
+        )
+        SELECT doc_a, doc_b, {jac} AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE {jac} >= 0.5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -428,17 +568,52 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY doc_id
         """,
-        "ngram_jaccard_dups": """
-            WITH sh AS (
-              SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
-              FROM documents WHERE doc_id < 200
+        "ngram_jaccard_dups": _ngram_lsh_oracle_sql(),
+        "simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (CASE WHEN b.b < 32 THEN (lo >> b.b)
+                                         ELSE (hi >> (b.b - 32)) END) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS sim_hi,
+                     sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS sim_lo
+              FROM votes GROUP BY doc_id
             )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+            SELECT d.doc_id,
+                   CAST(coalesce(fp.sim_hi, 0) AS BIGINT) AS sim_hi,
+                   CAST(coalesce(fp.sim_lo, 0) AS BIGINT) AS sim_lo
+            FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        "knn_lsh": _knn_lsh_oracle_sql(),
+        "media_features": """
+            WITH refs AS (
+              SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT media_ref, 'img' AS kind,
+                   CAST(length(media_ref) AS BIGINT) AS n_bytes,
+                   round(('0x' || substr(md5(media_ref), 1, 2))::INT / 255.0, 6) AS f0,
+                   round(('0x' || substr(md5(media_ref), 3, 2))::INT / 255.0, 6) AS f1,
+                   round(('0x' || substr(md5(media_ref), 5, 2))::INT / 255.0, 6) AS f2,
+                   round(('0x' || substr(md5(media_ref), 7, 2))::INT / 255.0, 6) AS f3
+            FROM refs
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

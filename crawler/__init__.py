@@ -19,11 +19,17 @@ Module map (SURVEY.md §7):
   warehouse   versioned-snapshot parquet tables (Iceberg-protocol stand-in)
   bloom       sharded bloom filter + cuckoo tier (numpy, mergeable blobs)
   dedup       URL-seen wave dedup: bloom prefilter + exact anti-join backstop
-  politeness  per-TPD scheduler — groupBy(tpd).applyInPandas, logical clock
-  fetchsim    network-free fetch stage: broadcast/sort-merge join vs pages
+  politeness  per-TPD scheduler — salted top-k + closed-form JVM tick emit
+  fetchsim    network-free fetch stage: headers/content-type, join vs pages
   frontier    frontier merge / seq assignment / salted skew partitioning
+  robots      robots.txt fetch + disallow-prefix cache
+  psl         vendored public-suffix-list snapshot (tpd data)
+  streaming   Structured-Streaming seed intake (idempotent foreachBatch)
+  consume     multi-instance fetched-stream consumption (claim-per-file)
+  export      ElasticSearch bulk-API projection (reference JSON shape)
   lineage     per-wave per-partition metrics + atomic commit + resume
   loop        the [DRV] wave loop: schedule→fetch→extract→dedup→merge
+  job         spark-submit --py-files entrypoint + crawler.zip packaging
   oracle      single-threaded reference-semantics crawler (golden generator)
   textops     training-data ops: dedup (minhash/simhash), knn, langid, quality
 """

@@ -6,17 +6,27 @@ processors/ESRabbitRiverTransformer.scala:22-32):
 
   {"index": {"_index": <appId>, "_type": "fetch_response", "_id": <uri>}}
   {"timestamp": ..., "request_uri": ..., "request_method": ...,
-   "request_headers": [...], "request_provenance": [...],
+   "request_headers": [["name","value"], ...],
+   "request_provenance": [...],
+   "request_entity": {"_content": <base64>},
+   "response_headers": [["name","value"], ...],
    "response_status": ..., "response_content_type": ...,
    "response_entity": {"_content_type": ..., "_content": <base64>}}
+
+Headers serialize as 2-element arrays (spray-json's tuple encoding of
+List[(String,String)]); response_content_type derives from the response
+headers case-insensitively (Responses.scala:37-39); request/response
+entities are included only when non-empty, wrapped as
+EntityWithContentType (the request side carries no content type).
 
 Differences, by design:
   - timestamp is the logical fetch clock (deterministic), not
     System.currentTimeMillis
-  - the entity is the span payload (input_hint) serialized canonically
-    then base64'd — the reference base64s the raw HTML bytes
+  - the response entity is the span payload (input_hint) serialized
+    canonically then base64'd — the reference base64s the raw HTML bytes
   - null-field pruning (the reference's filterNot JsNull) is Spark
-    to_json's default behavior (ignoreNullFields)
+    to_json's default; inside request_entity the absent _content_type is
+    omitted rather than serialized as an explicit null
 
 Everything is JVM expressions (to_json / base64 / concat) — exporting
 10^10 rows is a scan + project, no Python.
@@ -25,6 +35,10 @@ Everything is JVM expressions (to_json / base64 / concat) — exporting
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .fetchsim import content_type_expr
+
+_HEADER_T = "array<struct<name:string,value:string>>"
 
 
 def span_payload_expr(spans_col) -> F.Column:
@@ -40,28 +54,44 @@ def span_payload_expr(spans_col) -> F.Column:
     )
 
 
+def _header_pairs(col) -> F.Column:
+    """List[(String,String)] → [["name","value"], ...] (spray-json's
+    tuple encoding)."""
+    return F.transform(
+        F.coalesce(col, F.array().cast(_HEADER_T)),
+        lambda h: F.array(h["name"], h["value"]),
+    )
+
+
 def es_doc_json(fetched: DataFrame) -> F.Column:
     """The document line (ESJsonTransformations shape)."""
     payload = span_payload_expr(F.col("spans"))
-    entity = F.when(
+    content_type = content_type_expr(F.col("response_headers"))
+    response_entity = F.when(
         F.coalesce(payload, F.lit("")) != "",
         F.struct(
-            F.lit("text/html").alias("_content_type"),
+            content_type.alias("_content_type"),
             F.base64(payload.cast("binary")).alias("_content"),
         ),
+    )
+    request_entity = F.when(
+        F.coalesce(F.length(F.col("req_entity")), F.lit(0)) > 0,
+        F.struct(F.base64(F.col("req_entity")).alias("_content")),
     )
     return F.to_json(
         F.struct(
             F.col("fetch_ms").alias("timestamp"),
             F.col("url").alias("request_uri"),
-            F.lit("GET").alias("request_method"),
-            F.array().cast("array<string>").alias("request_headers"),
+            # the request's actual verb (WrappedHttpRequest.method) — not
+            # hardcoded: submitted non-GET requests export faithfully
+            F.coalesce(F.col("method"), F.lit("GET")).alias("request_method"),
+            _header_pairs(F.col("req_headers")).alias("request_headers"),
             F.col("provenance").alias("request_provenance"),
+            request_entity.alias("request_entity"),
+            _header_pairs(F.col("response_headers")).alias("response_headers"),
             F.col("status").alias("response_status"),
-            F.when(F.col("spans").isNotNull(), F.lit("text/html")).alias(
-                "response_content_type"
-            ),
-            entity.alias("response_entity"),
+            content_type.alias("response_content_type"),
+            response_entity.alias("response_entity"),
         )
     )
 

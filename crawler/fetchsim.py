@@ -50,6 +50,17 @@ def span_bytes_expr(spans_col):
     )
 
 
+def content_type_expr(headers_col) -> F.Column:
+    """contentType = first header named Content-Type, case-insensitively
+    (Responses.scala:37-39) — pure JVM filter over the header array."""
+    c = F.col(headers_col) if isinstance(headers_col, str) else headers_col
+    matches = F.filter(
+        F.coalesce(c, F.array().cast("array<struct<name:string,value:string>>")),
+        lambda h: F.lower(h["name"]) == "content-type",
+    )
+    return F.try_element_at(matches, F.lit(1))["value"]
+
+
 def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataFrame:
     """scheduled(url, ..., fetch_ms) → FETCHED rows (schemas.FETCHED)."""
     web = pages.join(documents, on="doc_id", how="left").select(
@@ -58,6 +69,7 @@ def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataF
         F.col("location").alias("_location"),
         F.col("doc_id").alias("_doc_id"),
         F.col("spans").alias("_spans"),
+        F.col("content_type").alias("_ct"),
     )
     known_hosts = pages.select(F.col("host").alias("_khost")).distinct()
 
@@ -84,6 +96,24 @@ def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataF
         .when(host_known, _ok_spans())
         .otherwise(F.lit(None).cast(span_type))
     )
+    # response headers mirror the test server: Content-Type for any
+    # body-bearing response (page-declared type, text/html default) and
+    # Location for redirects; connection failures (status 0) carry none
+    ct = F.when(
+        spans.isNotNull(), F.coalesce(F.when(hit, F.col("_ct")), F.lit("text/html"))
+    )
+    loc = F.when(hit, F.col("_location"))
+    header_t = "array<struct<name:string,value:string>>"
+    resp_headers = F.when(
+        status > 0,
+        F.filter(
+            F.array(
+                F.struct(F.lit("Content-Type").alias("name"), ct.alias("value")),
+                F.struct(F.lit("Location").alias("name"), loc.alias("value")),
+            ),
+            lambda h: h["value"].isNotNull(),
+        ),
+    ).cast(header_t)
 
     return j.select(
         F.lit(None).cast("int").alias("wave"),  # filled by the loop
@@ -93,11 +123,16 @@ def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataF
         F.col("tpd"),
         F.col("fetch_ms"),
         F.col("seq"),
+        F.col("method"),
         status.cast("int").alias("status"),
-        F.when(hit, F.col("_location")).alias("location"),
+        loc.alias("location"),
         F.when(hit, F.col("_doc_id")).alias("doc_id"),
         spans.alias("spans"),
         F.col("provenance"),
+        F.col("req_headers"),
+        F.col("req_entity"),
+        resp_headers.alias("response_headers"),
+        content_type_expr(resp_headers).alias("content_type"),
         span_bytes_expr(spans).alias("n_bytes"),
     )
 

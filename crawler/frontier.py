@@ -29,6 +29,19 @@ from .hashing import h2_expr
 
 _FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 
+#: Spark type string of one request/response header pair
+HEADER_T = "array<struct<name:string,value:string>>"
+
+
+def request_body_cols() -> list:
+    """req_headers / req_entity for crawl-built GET requests:
+    WrappedHttpRequest.getUrl(url) carries Nil headers and an empty
+    entity (Requests.scala:27-28)."""
+    return [
+        F.array().cast(HEADER_T).alias("req_headers"),
+        F.lit(None).cast("binary").alias("req_entity"),
+    ]
+
 
 def seeds_df(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFrame:
     """Seed injection (S4, example-app/Main.scala:30,67): literal seed
@@ -45,6 +58,7 @@ def seeds_df(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFra
         host.alias("host"),
         urlnorm.tpd_expr(host).alias("tpd"),
         F.lit("GET").alias("method"),
+        *request_body_cols(),
         F.array().cast("array<string>").alias("provenance"),
         F.lit(0.0).alias("priority"),
         F.col("i").alias("seq"),
@@ -71,6 +85,7 @@ def links_to_frontier(new_links: DataFrame, cfg: CrawlConfig, wave: int) -> Data
         F.col("host"),
         F.col("tpd"),
         F.lit("GET").alias("method"),
+        *request_body_cols(),
         urlnorm.provenance_expr("provenance", "source_url", cfg.max_provenance).alias(
             "provenance"
         ),

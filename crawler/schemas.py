@@ -48,6 +48,8 @@ PAGES = T.StructType(
         T.StructField("status", T.IntegerType(), False),
         T.StructField("location", T.StringType(), True),  # redirect target
         T.StructField("doc_id", T.StringType(), True),  # FK → documents_spans
+        #: response Content-Type; None → text/html default for doc pages
+        T.StructField("content_type", T.StringType(), True),
     ]
 )
 
@@ -63,6 +65,10 @@ FRONTIER = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("tpd", T.StringType(), False),  # politeness key
         T.StructField("method", T.StringType(), False),
+        #: WrappedHttpRequest.headers / .entity (Requests.scala:34-39) —
+        #: empty for crawl-extracted GETs, carried for submitted requests
+        T.StructField("req_headers", T.ArrayType(HEADER), True),
+        T.StructField("req_entity", T.BinaryType(), True),
         T.StructField("provenance", T.ArrayType(T.StringType()), False),
         T.StructField("priority", T.DoubleType(), False),
         T.StructField("seq", T.LongType(), False),  # per-host FIFO order
@@ -92,11 +98,22 @@ FETCHED = T.StructType(
         T.StructField("tpd", T.StringType(), False),
         T.StructField("fetch_ms", T.LongType(), False),  # logical clock
         T.StructField("seq", T.LongType(), False),
+        #: request verb (models_http.protobuf RequestMethod: GET HEAD
+        #: POST PUT DELETE TRACE OPTIONS CONNECT PATCH)
+        T.StructField("method", T.StringType(), False),
         T.StructField("status", T.IntegerType(), False),
         T.StructField("location", T.StringType(), True),
         T.StructField("doc_id", T.StringType(), True),
         T.StructField("spans", T.ArrayType(SPAN), True),
         T.StructField("provenance", T.ArrayType(T.StringType()), False),
+        #: CrawlItem = req + res: the request's headers/entity and the
+        #: response headers (Content-Type, Location, ...); content_type
+        #: is derived from response_headers case-insensitively
+        #: (Responses.scala:37-39)
+        T.StructField("req_headers", T.ArrayType(HEADER), True),
+        T.StructField("req_entity", T.BinaryType(), True),
+        T.StructField("response_headers", T.ArrayType(HEADER), True),
+        T.StructField("content_type", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), False),
     ]
 )

@@ -21,11 +21,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    # local[N] → shuffle partitions = N keeps every core busy without
-    # tiny-task overhead; on a real cluster set ~2-3× total cores.
+    # shuffle partitions = 4× cores: at 1 task/core a single stalled
+    # task (GC pause, hypervisor preemption of one vCPU) stalls the
+    # whole stage; 4 waves of tasks smooth stragglers.  Measured on this
+    # host: the frontier wave at local[32] goes from 15-40k URLs/s
+    # (erratic) to a stable ~150-215k URLs/s.  Same rule as a real
+    # cluster's "2-4× total executor cores".
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("", "*") else max(int(n), 1)
+        cores = cpus if n in ("", "*") else max(int(n), 1)
+        shuffle_partitions = 4 * cores
 
     # shuffle/spill on tmpfs when available — local mode shuffles through
     # spark.local.dir; on a disk-backed /tmp that becomes the bottleneck
@@ -40,14 +45,19 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE partition coalescing targets 64MB/partition, which collapses
-        # our modest-byte/high-cardinality shuffles (windows, cogroups) to
-        # a handful of tasks and serializes the machine — keep skew-join
-        # splitting, drop coalescing (measured 3-20x on the wave hot path)
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # AQE coalescing stays ON but with a 4MB advisory size (default
+        # 64MB collapsed the wave's modest-byte/high-cardinality shuffles
+        # to ~5 tasks and serialized the machine): small queries coalesce
+        # tight, the wave's wide shuffles keep ≥2 tasks/core
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # long-lived sessions (test suite, wave loops): reclaim shuffle
+        # files / broadcast blocks aggressively instead of the 30 min
+        # default — JVM resource accretion caused full-suite flakes
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.driver.memory", os.environ.get("CRAWLER_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from . import frontier as frontier_mod
 from . import urlnorm
 from .config import CrawlConfig
 from .hashing import h2_expr
@@ -39,6 +40,8 @@ SEED_DROP_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("priority", T.DoubleType(), True),
         T.StructField("not_before_wave", T.IntegerType(), True),
+        #: optional HTTP verb (proto RequestMethod enum; default GET)
+        T.StructField("method", T.StringType(), True),
     ]
 )
 
@@ -68,7 +71,8 @@ def requests_to_frontier_rows(batch: DataFrame, cfg: CrawlConfig, wave: int) -> 
         h2_expr(canon).alias("url_hash"),
         host.alias("host"),
         urlnorm.tpd_expr(host).alias("tpd"),
-        F.lit("GET").alias("method"),
+        F.coalesce(F.col("method"), F.lit("GET")).alias("method"),
+        *frontier_mod.request_body_cols(),
         F.array().cast("array<string>").alias("provenance"),
         F.coalesce(F.col("priority"), F.lit(0.0)).alias("priority"),
         (

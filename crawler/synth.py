@@ -30,10 +30,11 @@ TEST_HOST = "http://localhost:9090"
 
 
 def _page(url: str, status: int = 200, location: str | None = None,
-          doc_id: str | None = None) -> dict:
+          doc_id: str | None = None, content_type: str | None = None) -> dict:
     host = url.split("://")[1].split("/")[0].split(":")[0]
     return {"url": url, "host": host, "status": status,
-            "location": location, "doc_id": doc_id}
+            "location": location, "doc_id": doc_id,
+            "content_type": content_type}
 
 
 def _doc(doc_id: str, body_html: str, with_media: bool = False) -> dict:
@@ -163,6 +164,8 @@ def synth_frontier(
         )
     )
     url = F.concat(F.lit("http://"), host, F.lit("/p/"), F.col("id"))
+    from .frontier import request_body_cols
+
     return r.select(
         url.alias("url"),
         url.alias("url_canon"),
@@ -170,6 +173,7 @@ def synth_frontier(
         host.alias("host"),
         urlnorm.tpd_expr(host).alias("tpd"),
         F.lit("GET").alias("method"),
+        *request_body_cols(),
         F.array().cast("array<string>").alias("provenance"),
         F.lit(0.0).alias("priority"),
         F.col("id").alias("seq"),

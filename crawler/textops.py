@@ -151,24 +151,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def word_hash_exprs(text_col) -> tuple[F.Column, F.Column]:
+    """Per-token 64-bit hash split into two unsigned 32-bit halves, as
+    JVM expressions: h = first 8 bytes of md5(token), big-endian —
+    hi = hex[0:8], lo = hex[8:16], each via conv(hex,16,10).  All
+    hashing stays JVM-side (and md5 is identical in DuckDB, so the
+    whole fingerprint is SQL-oracle-checkable)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    his = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    los = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long"))
+    return his, los
+
+
 @pandas_udf(T.LongType())
-def simhash64_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized numpy bit-vote.
-    (Charikar 2002; used for near-dup fingerprinting at crawl scale.)"""
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text.fillna("")):
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.array(
-            [np.uint64(int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "big")) for w in toks],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        v = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        out[i] = np.bitwise_or.reduce(v).astype(np.int64)
-    return pd.Series(out)
+def _bit_vote_udf(his: pd.Series, los: pd.Series) -> pd.Series:
+    """SimHash bit-vote over pre-hashed tokens — one numpy pass over the
+    whole Arrow batch: flatten all rows' hash arrays, vote with
+    np.add.at, repack.  No Python hashing, no per-row loop."""
+    lengths = his.map(len).to_numpy(dtype=np.int64)
+    n_rows = len(lengths)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if lengths.sum() == 0:
+        return pd.Series(out.astype(np.int64))
+    row_ids = np.repeat(np.arange(n_rows), lengths)
+    flat_hi = np.concatenate([np.asarray(a, dtype=np.int64) for a in his]).astype(np.uint64)
+    flat_lo = np.concatenate([np.asarray(a, dtype=np.int64) for a in los]).astype(np.uint64)
+    flat = (flat_hi << np.uint64(32)) | flat_lo
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = np.zeros((n_rows, 64), dtype=np.int64)
+    np.add.at(votes, row_ids, 2 * bits - 1)
+    packed = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    out = np.bitwise_or.reduce(packed, axis=1)
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash64_expr(text_col) -> F.Column:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): JVM md5
+    token hashing + vectorized numpy bit-vote."""
+    his, los = word_hash_exprs(text_col)
+    return _bit_vote_udf(his, los)
 
 
 def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
@@ -176,7 +198,7 @@ def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
     within hamming distance ≤ 3 of a 64-bit hash shares at least one
     exact 16-bit chunk — pigeonhole), verify hamming distance in-JVM
     via bit_count(xor)."""
-    h = documents.select("doc_id", simhash64_udf("text").alias("sim"))
+    h = documents.select("doc_id", simhash64_expr("text").alias("sim"))
     chunks = h.select(
         "doc_id",
         "sim",
@@ -241,6 +263,12 @@ def knn_bruteforce(
     )
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes shared by the Spark ANN path and
+    the DuckDB oracle (same seed → same float64 literals both sides)."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
 def knn_lsh_bucketed(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8
 ) -> DataFrame:
@@ -249,8 +277,7 @@ def knn_lsh_bucketed(
     bucket.  At 1e10 vectors the scan prunes to ~corpus/2^planes.
     Deterministic planes derive from a fixed seed so results reproduce."""
     dim = len(query_vec)
-    rng = np.random.RandomState(42)
-    planes = rng.randn(n_planes, dim)
+    planes = lsh_planes(n_planes, dim)
 
     def bucket_expr(vec_col) -> F.Column:
         bits = [
@@ -366,7 +393,9 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double (not float32): the deterministic fake features must be
+        # bit-reproducible by the DuckDB oracle's double arithmetic
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 

@@ -21,6 +21,17 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_spark_resources(request):
+    """Endurance: one shared JVM runs the whole suite — drop cached
+    DataFrames after every test so persisted intermediates from 14+
+    crawl runs cannot accrete into executor storage (the round-1
+    full-suite py4j flake)."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture()
 def wh_root(tmp_path):
     return str(tmp_path / "warehouse")

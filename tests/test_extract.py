@@ -228,3 +228,45 @@ def test_location_links_order_first(spark):
         "http://somesite.com/fromheader",
         "http://somesite.com/body1",
     ]
+
+
+def test_fetchsim_headers_and_content_type(spark):
+    """fetch-sim emits response headers (Content-Type / Location) and the
+    case-insensitively derived content_type column; connection failures
+    carry no headers."""
+    from crawler import fetchsim, schemas
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/pdf", "a.com", 200, None, "d1", "application/pdf"),
+            ("http://a.com/html", "a.com", 200, None, "d2", None),
+            ("http://a.com/redir", "a.com", 301, "/", None, None),
+        ],
+        schemas.PAGES,
+    )
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]),
+         ("d2", [{"kind": "text", "text": "y", "media_ref": "", "offset": 0}])],
+        schemas.DOCUMENTS_SPANS,
+    )
+    sched = spark.createDataFrame(
+        [(u, u, 0, "a.com", "a.com", "GET", [], None, [], 0.0, i, 0, 0, 100, 0)
+         for i, u in enumerate(
+             ["http://a.com/pdf", "http://a.com/html", "http://a.com/redir",
+              "http://a.com/other", "http://nowhere.zz/x"])],
+        "url string, url_canon string, url_hash long, host string, tpd string,"
+        "method string, req_headers array<struct<name:string,value:string>>,"
+        "req_entity binary, provenance array<string>, priority double, seq long,"
+        "not_before_wave int, wave_added int, delay_ms int, fetch_ms long",
+    ).withColumn("host", F.when(F.col("url").contains("nowhere"),
+                                F.lit("nowhere.zz")).otherwise(F.col("host")))
+    out = {r["url"]: r for r in fetchsim.fetch(sched, pages, docs).collect()}
+    assert out["http://a.com/pdf"]["content_type"] == "application/pdf"
+    assert out["http://a.com/html"]["content_type"] == "text/html"
+    hdrs = {h["name"]: h["value"] for h in out["http://a.com/redir"]["response_headers"]}
+    assert hdrs == {"Location": "/"}
+    assert out["http://a.com/redir"]["content_type"] is None
+    # default route body is text/html; unknown host carries nothing
+    assert out["http://a.com/other"]["content_type"] == "text/html"
+    assert out["http://nowhere.zz/x"]["response_headers"] is None
+    assert out["http://nowhere.zz/x"]["status"] == 0

@@ -13,7 +13,7 @@ from crawler.config import CrawlConfig
 def _pending(spark, rows):
     """rows: (url, tpd, seq) — rest defaulted."""
     data = [
-        (u, u, hash(u) % 10**9, u.split("/")[2], tpd, "GET", [], 0.0, s, 0, 0)
+        (u, u, hash(u) % 10**9, u.split("/")[2], tpd, "GET", [], None, [], 0.0, s, 0, 0)
         for (u, tpd, s) in rows
     ]
     return spark.createDataFrame(data, schemas.FRONTIER)

@@ -97,22 +97,31 @@ def test_streaming_seed_intake(spark, wh_root, tmp_path):
 
 
 def test_es_bulk_export_shape(spark):
-    """ESJsonTransformationsSpec golden shape (field names, null pruning,
-    bulk action line routing)."""
+    """ESJsonTransformationsSpec golden shape (field names, header pair
+    encoding, entity wrapping, null pruning, bulk action routing) — the
+    full ESJsonTransformations.scala:29-40 field set."""
+    schema = (
+        "url string, tpd string, fetch_ms long, method string, status int,"
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+        "provenance array<string>,"
+        "req_headers array<struct<name:string,value:string>>, req_entity binary,"
+        "response_headers array<struct<name:string,value:string>>"
+    )
     rows = [
         (
-            "http://blikk.co/test", "blikk.co", 1500, 200,
+            "http://blikk.co/test", "blikk.co", 1500, "POST", 200,
             [{"kind": "text", "text": "OK!", "media_ref": "", "offset": 0}],
             [],
+            [{"name": "Accept", "value": "*/*"}], b"post-body",
+            # lower-case content-type: derivation is case-insensitive
+            [{"name": "content-type", "value": "application/json"}],
         ),
-        ("http://blikk.co/empty", "blikk.co", 3000, 200, None, ["http://a/b"]),
+        (
+            "http://blikk.co/empty", "blikk.co", 3000, "GET", 200,
+            None, ["http://a/b"], [], None, [],
+        ),
     ]
-    df = spark.createDataFrame(
-        rows,
-        "url string, tpd string, fetch_ms long, status int,"
-        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
-        "provenance array<string>",
-    )
+    df = spark.createDataFrame(rows, schema)
     out = export.es_bulk_lines(df, "someApp").collect()
     by_url = {}
     for r in out:
@@ -126,19 +135,28 @@ def test_es_bulk_export_shape(spark):
     assert a["index"]["_type"] == "fetch_response"
     assert tpd == "blikk.co"
     assert d["request_uri"] == "http://blikk.co/test"
-    assert d["request_method"] == "GET"
-    assert d["request_headers"] == [] and d["request_provenance"] == []
+    assert d["request_method"] == "POST"  # verb flows through, not hardcoded
+    # headers serialize as [name, value] pairs (spray-json tuple shape)
+    assert d["request_headers"] == [["Accept", "*/*"]]
+    assert d["response_headers"] == [["content-type", "application/json"]]
+    assert d["request_provenance"] == []
     assert d["response_status"] == 200
-    assert d["response_content_type"] == "text/html"
+    # content type derived from the response headers, case-insensitive
+    assert d["response_content_type"] == "application/json"
+    assert d["response_entity"]["_content_type"] == "application/json"
     assert d["timestamp"] == 1500
     import base64
 
+    assert base64.b64decode(d["request_entity"]["_content"]) == b"post-body"
+    assert "_content_type" not in d["request_entity"]
     assert base64.b64decode(d["response_entity"]["_content"]).decode().startswith(
         "text\x1fOK!"
     )
-    # null pruning: no spans → no content_type / entity keys at all
+    # null pruning: no spans / empty entity → keys absent entirely
     _, d2, _ = by_url["http://blikk.co/empty"]
     assert "response_entity" not in d2 and "response_content_type" not in d2
+    assert "request_entity" not in d2
+    assert d2["response_headers"] == []
     assert d2["request_provenance"] == ["http://a/b"]
 
 
@@ -156,7 +174,7 @@ def test_intake_batch_replay_is_noop(spark, wh_root):
 
     wh = Warehouse(wh_root)
     batch = spark.createDataFrame(
-        [("http://localhost:9090/7", None, None)], streaming.SEED_DROP_SCHEMA
+        [("http://localhost:9090/7", None, None, None)], streaming.SEED_DROP_SCHEMA
     )
     assert streaming.apply_intake_batch(wh, batch, 0, cfg) is True
     assert streaming.apply_intake_batch(wh, batch, 0, cfg) is False  # replay
@@ -164,7 +182,7 @@ def test_intake_batch_replay_is_noop(spark, wh_root):
     assert n == 1
     # a later batch still applies
     batch2 = spark.createDataFrame(
-        [("http://localhost:9090/8", None, None)], streaming.SEED_DROP_SCHEMA
+        [("http://localhost:9090/8", None, None, None)], streaming.SEED_DROP_SCHEMA
     )
     assert streaming.apply_intake_batch(wh, batch2, 1, cfg) is True
     assert wh.read_committed(spark, "frontier_adds", schemas.FRONTIER).count() == 2
