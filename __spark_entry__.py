@@ -410,6 +410,51 @@ def _q_media_features(spark, sf):
     )
 
 
+def _q_media_decode(spark, sf):
+    """REAL binary decode: md5-stream SIMG payloads → numpy
+    frombuffer/reshape decode (textops.media_decode_features) → pixel
+    statistics.  The DuckDB oracle recomputes the same statistics from
+    the md5 hex stream, value-checking the decode end-to-end."""
+    from crawler.synth import md5_image_blobs
+    from crawler.textops import media_decode_features
+
+    docs = _read(spark, sf, "documents").where("doc_id < 100")
+    refs = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    out = media_decode_features(md5_image_blobs(refs))
+    return out.select(
+        "media_ref", "width", "height", "channels", "n_pixel_bytes",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
+_MEDIA_DECODE_ORACLE = """
+    WITH refs AS (
+      SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+      FROM documents WHERE doc_id < 100
+    ),
+    dims AS (
+      SELECT media_ref,
+             8 + (('0x' || substr(md5(media_ref), 1, 2))::INT % 25) AS w,
+             8 + (('0x' || substr(md5(media_ref), 3, 2))::INT % 25) AS h
+      FROM refs
+    ),
+    px AS (
+      SELECT media_ref, w, h,
+             ('0x' || substr(md5(media_ref || ':' || CAST((i.i // 16) AS VARCHAR)),
+                             ((i.i % 16) * 2) + 1, 2))::INT AS b
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) i
+    )
+    SELECT media_ref, w AS width, h AS height, 3 AS channels,
+           CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+           round(avg(b), 6) AS mean,
+           round(stddev_pop(b), 6) AS std
+    FROM px GROUP BY media_ref, w, h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -432,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_nations": _q_top_revenue_nations,
         "events_window": _q_events_window,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -602,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "media_decode": _MEDIA_DECODE_ORACLE,
         "media_features": """
             WITH refs AS (
               SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref

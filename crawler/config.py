@@ -41,6 +41,12 @@ class CrawlConfig:
     bloom_shards: int = 64
     #: cuckoo-filter tier (deletable entries) per-shard slot count
     cuckoo_slots_per_shard: int = 65536
+    #: data files per bloom snapshot (explicit repartition — AQE must not
+    #: merge shards into one file or the incremental keyed commit loses
+    #: its rewrite granularity).  ~shards/bloom_file_buckets shards per
+    #: file = the rewrite amplification of one changed shard; at the
+    #: 4096-shard scale knob raise to ~256 (16 shards ≈ 100 MB per file)
+    bloom_file_buckets: int = 16
 
     # --- dedup wiring (example-app/Main.scala:32,59) ---
     #: pre-seed URL-seen with the seed list (SimpleCrawlSpec.scala:49-50)

@@ -45,6 +45,14 @@ TABLES = {
 }
 
 
+def _bucket_blobs(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Explicitly bucket blob rows into bloom_file_buckets data files by
+    shard_id.  User-specified repartition counts are exempt from AQE
+    coalescing — without this, AQE can merge every shard into one file
+    and the keyed incremental commit degrades to a full rewrite."""
+    return df.repartition(cfg.bloom_file_buckets, "shard_id")
+
+
 @dataclass
 class WaveMetrics:
     wave: int
@@ -124,7 +132,7 @@ class Crawl:
                 spark.createDataFrame([], schemas.URL_SEEN)
             )
         versions["url_seen_bloom"] = self._t("url_seen_bloom").overwrite_keyed(
-            bloom0, "shard_id"
+            _bucket_blobs(bloom0, cfg), "shard_id"
         )
         self.wh.catalog.commit(
             -1, versions, config=cfg.to_dict(), stats={"fetched": 0, "bytes": 0}
@@ -225,11 +233,17 @@ class Crawl:
         rewrite = t_bloom.keys_needing_rewrite(base_bloom, changed_shards)
         if rewrite is None:  # no per-file key metadata yet: full rewrite once
             bloom_version = t_bloom.overwrite_keyed(
-                dedup.update_bloom(bloom_df, new_links, cfg, wave), "shard_id"
+                _bucket_blobs(dedup.update_bloom(bloom_df, new_links, cfg, wave), cfg),
+                "shard_id",
             )
         else:
+            shards_per_file = max(1, cfg.bloom_shards // cfg.bloom_file_buckets)
             bloom_version = t_bloom.replace_keys(
-                dedup.update_bloom(bloom_df, new_links, cfg, wave, emit_shards=rewrite),
+                dedup.update_bloom(
+                    bloom_df, new_links, cfg, wave, emit_shards=rewrite
+                ).repartition(
+                    max(1, -(-len(rewrite) // shards_per_file)), "shard_id"
+                ),
                 base_bloom,
                 "shard_id",
             )

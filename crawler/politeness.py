@@ -136,14 +136,20 @@ def schedule_wave(
     allowed = allowed.withColumn("delay_ms", delay_expr("tpd", cfg)).withColumn(
         "_k", F.ceil(F.lit(cfg.wave_ms) / F.col("delay_ms")).cast("int")
     )
-    candidates = _topk_salted(allowed, "_k", cfg).drop("_k")
 
-    # schedule state: next_allowed; absent row = schedule created THIS wave
-    # with the reference's initial delay of one interval.  One row per
-    # active TPD — Catalyst auto-broadcasts below threshold; at a 100M-
-    # domain frontier it correctly falls back to a shuffle join on tpd.
+    # schedule state join FIRST: next_allowed; absent row = schedule
+    # created THIS wave with the reference's initial delay of one
+    # interval.  One row per active TPD — Catalyst auto-broadcasts below
+    # threshold; at a 100M-domain frontier it falls back to a shuffle
+    # join on tpd.  Joining before the top-k lets us drop every TPD
+    # whose clock cannot fire inside this wave (next_allowed ≥ win_end)
+    # BEFORE the window shuffle — in a politeness-bound steady state the
+    # overwhelming majority of pending rows never enter the sort.
     st = host_state.select("tpd", "next_allowed_ms")
-    candidates = candidates.join(st, on="tpd", how="left")
+    allowed = allowed.join(st, on="tpd", how="left").where(
+        F.coalesce(F.col("next_allowed_ms"), F.lit(0)) < F.lit(win_end)
+    )
+    candidates = _topk_salted(allowed, "_k", cfg).drop("_k")
 
     # exact per-TPD queue rank over the bounded candidate set, then the
     # tick progression in closed form — entirely JVM, no Python stage:

@@ -119,6 +119,78 @@ def run_intake(
         writer.start()
 
 
+#: input schema of the streaming throttler: a request stream stamped
+#: with a logical submission clock
+THROTTLE_IN = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("tpd", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("submit_ms", T.LongType(), False),
+    ]
+)
+
+THROTTLE_OUT = T.StructType(
+    THROTTLE_IN.fields + [T.StructField("fetch_ms", T.LongType(), False)]
+)
+
+#: per-TPD schedule state carried across micro-batches
+_THROTTLE_STATE = T.StructType([T.StructField("next_allowed_ms", T.LongType())])
+
+
+def throttle_requests_stream(requests, cfg: CrawlConfig):
+    """The RabbitThrottler as a genuine Structured-Streaming stateful
+    operator (RabbitThrottler.scala:59-66,94-111):
+    `groupBy(tpd).applyInPandasWithState` keeps one schedule clock per
+    TPD across micro-batches — within and across batches, consecutive
+    fetch_ms for a TPD are spaced ≥ its interval, first tick one
+    interval after the schedule appears, FIFO by (priority DESC, seq).
+
+    This is the streaming twin of the batch wave scheduler
+    (politeness.schedule_wave): same tick arithmetic, state in the
+    streaming checkpoint instead of the host_state table.  Schedule
+    eviction (the scheduleTimeout analog) belongs to the batch engine's
+    next_host_state; here idle state simply stops being updated.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def throttle(key, pdfs, state: "GroupState"):
+        tpd = key[0]
+        delay = cfg.delay_for(tpd)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(
+            ["priority", "seq", "url"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        if state.exists:
+            (next_allowed,) = state.get
+        else:
+            # fresh schedule: first tick one interval after creation
+            next_allowed = int(rows["submit_ms"].min()) + delay
+        t = next_allowed
+        out = []
+        for submit in rows["submit_ms"]:
+            t = max(t, int(submit))
+            out.append(t)
+            t += delay
+        state.update((t,))
+        rows = rows.assign(fetch_ms=pd.Series(out, index=rows.index, dtype="int64"))
+        yield rows
+
+    return requests.groupBy("tpd").applyInPandasWithState(
+        throttle,
+        outputStructType=THROTTLE_OUT,
+        stateStructType=_THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def apply_intake_batch(
     wh: Warehouse, batch: DataFrame, batch_id: int, cfg: CrawlConfig
 ) -> bool:

@@ -144,6 +144,76 @@ def documents_df(spark: SparkSession, docs: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(docs, schema=schemas.DOCUMENTS_SPANS)
 
 
+def md5_image_blobs(refs: DataFrame) -> DataFrame:
+    """SIMG payloads whose pixels are the md5 stream of the ref —
+    deterministic AND reproducible in SQL (DuckDB md5 of the same
+    strings), so the real numpy decode stage can be value-checked by an
+    oracle end-to-end:
+
+      w = 8 + md5(ref)[0] % 25,  h = 8 + md5(ref)[1] % 25,  c = 3
+      pixels[16k..16k+15] = md5(ref ':' k)
+
+    Input: DataFrame(media_ref string) → (media_ref, blob binary)."""
+    import hashlib
+
+    from .textops import SIMG_MAGIC
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                d = hashlib.md5(ref.encode()).digest()
+                w, h, c = 8 + d[0] % 25, 8 + d[1] % 25, 3
+                n_px = w * h * c
+                chunks = []
+                for k in range(-(-n_px // 16)):
+                    chunks.append(hashlib.md5(f"{ref}:{k}".encode()).digest())
+                px = b"".join(chunks)[:n_px]
+                blob = (
+                    SIMG_MAGIC
+                    + w.to_bytes(2, "big")
+                    + h.to_bytes(2, "big")
+                    + bytes([c])
+                    + px
+                )
+                rows.append((ref, blob))
+            yield pd.DataFrame(rows, columns=["media_ref", "blob"])
+
+    return refs.select("media_ref").mapInPandas(
+        gen, schema="media_ref string, blob binary"
+    )
+
+
+def synth_media_blobs(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+    """Deterministic binary image payloads in the SIMG raw container
+    (textops.SIMG_MAGIC): header + w·h·c uint8 pixels.  Stands in for
+    the crawl's fetched media bytes so the decode stage
+    (textops.media_decode_features) exercises real numpy parsing over a
+    real binary column."""
+    import numpy as np
+
+    from .textops import SIMG_MAGIC
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.RandomState(seed + int(i))
+                w, h, c = int(rng.randint(4, 33)), int(rng.randint(4, 33)), 3
+                px = rng.randint(0, 256, size=w * h * c, dtype=np.uint8)
+                blob = (
+                    SIMG_MAGIC
+                    + int(w).to_bytes(2, "big")
+                    + int(h).to_bytes(2, "big")
+                    + bytes([c])
+                    + px.tobytes()
+                )
+                rows.append((f"img://doc/{int(i)}", blob))
+            yield pd.DataFrame(rows, columns=["media_ref", "blob"])
+
+    return spark.range(n).mapInPandas(gen, schema="media_ref string, blob binary")
+
+
 # ------------------------------------------------------- benchmark scale
 
 

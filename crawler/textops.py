@@ -400,14 +400,80 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
-    """Multimodal feature extraction plumbing over opaque media refs.
+#: decoded-image feature schema: dims + per-image pixel statistics
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("std", T.DoubleType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+    ]
+)
 
-    The Spark side — schema, Arrow batching, partition shape — is real;
-    the decode step is a deterministic fake (image/audio libs are not in
-    this container): feature = 4 floats derived from md5(media_ref).
-    Set decode=True to hit the NotImplementedError guard where a real
-    decoder (PIL/ffmpeg) plugs in via the same mapInPandas contract.
+#: magic header of the synthetic raw-image container (see
+#: synth.synth_media_blobs): SIMG | width u16 BE | height u16 BE | ch u8
+SIMG_MAGIC = b"SIMG"
+
+
+def decode_image_features(py_blob: bytes) -> tuple | None:
+    """Scalar decoder for one SIMG payload — numpy only (shared by the
+    Spark stage and tests)."""
+    if py_blob is None or py_blob[:4] != SIMG_MAGIC or len(py_blob) < 9:
+        return None
+    w = int.from_bytes(py_blob[4:6], "big")
+    h = int.from_bytes(py_blob[6:8], "big")
+    c = py_blob[8]
+    px = np.frombuffer(py_blob, dtype=np.uint8, offset=9)
+    if len(px) != w * h * c:
+        return None
+    img = px.reshape(h, w, c).astype(np.float64)
+    return (
+        w, h, int(c), int(len(px)),
+        float(img.mean()), float(img.std()),
+        [float(m) for m in img.mean(axis=(0, 1))],
+    )
+
+
+def media_decode_features(blobs: DataFrame) -> DataFrame:
+    """REAL multimodal decode over binary payloads: parse the SIMG raw
+    container with numpy (frombuffer + reshape — no image libs needed)
+    and emit per-image pixel statistics.  mapInPandas keeps the binary
+    column in Arrow batches; each batch decodes without ever leaving
+    numpy.  Swapping in JPEG/PNG means replacing decode_image_features
+    with a PIL/libvips call — the Spark plumbing (schema, batching,
+    partitioning) is identical.
+
+    Input: DataFrame(media_ref string, blob binary)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["blob"]):
+                feat = decode_image_features(bytes(blob) if blob is not None else None)
+                if feat is not None:
+                    rows.append((ref, *feat))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_DECODE_SCHEMA.fields]
+            )
+
+    return blobs.select("media_ref", "blob").mapInPandas(
+        gen, schema=MEDIA_DECODE_SCHEMA
+    )
+
+
+def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
+    """Multimodal feature plumbing over opaque media REFS (no payload).
+
+    feature = 4 doubles derived from md5(media_ref) — deterministic, so
+    the DuckDB oracle can value-check the whole mapInPandas pipeline.
+    When the binary payload itself is available, use
+    media_decode_features (a real numpy decoder) instead; decode=True
+    here hits the guard documenting that this ref-only path cannot
+    decode anything.
     """
 
     def gen(batches):

@@ -108,14 +108,22 @@ class Table:
         if not files:
             shutil.rmtree(out, ignore_errors=True)
             return [], 0
-        # cheap row count from parquet footers
+        # cheap row counts from parquet footers; drop per-file empties
+        # (explicitly repartitioned writes can leave empty partitions)
         import pyarrow.parquet as pq
 
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        kept, rows = [], 0
+        for f in files:
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                os.unlink(f)
+            else:
+                kept.append(f)
+                rows += n
         if rows == 0:
             shutil.rmtree(out, ignore_errors=True)
             return [], 0
-        return files, rows
+        return kept, rows
 
     def append(self, df: DataFrame, base_version: int | None = None) -> int:
         """Stage a new version = base's files + df's files. Returns it."""

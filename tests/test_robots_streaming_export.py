@@ -216,3 +216,51 @@ def test_bloom_incremental_commit(spark, wh_root):
     shards = c.wh.read_committed(spark, "url_seen_bloom", schemas.URL_SEEN_BLOOM)
     per = shards.groupBy("shard_id").count().where("count > 1").count()
     assert per == 0 and shards.count() == cfg.bloom_shards
+
+
+def test_streaming_stateful_throttler(spark, tmp_path):
+    """RabbitThrottler as applyInPandasWithState: one dequeue per
+    interval per TPD with state carried ACROSS micro-batches (spacing
+    holds between batches, not just within one)."""
+    from crawler import streaming
+    from crawler.config import CrawlConfig
+
+    cfg = CrawlConfig(per_domain_delay_ms=100, domain_delays={"slow.com": 250})
+    drop = tmp_path / "reqs"
+    drop.mkdir()
+    # batch 1: three a.com requests + one slow.com, submitted at t=0
+    with open(drop / "b1.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"url": f"http://a.com/{i}", "tpd": "a.com",
+                                "priority": 0.0, "seq": i, "submit_ms": 0}) + "\n")
+        f.write(json.dumps({"url": "http://slow.com/0", "tpd": "slow.com",
+                            "priority": 0.0, "seq": 0, "submit_ms": 0}) + "\n")
+    # batch 2: two more a.com requests submitted at t=150
+    with open(drop / "b2.json", "w") as f:
+        for i in (3, 4):
+            f.write(json.dumps({"url": f"http://a.com/{i}", "tpd": "a.com",
+                                "priority": 0.0, "seq": i, "submit_ms": 150}) + "\n")
+
+    stream = (
+        spark.readStream.schema(streaming.THROTTLE_IN)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .json(str(drop))
+    )
+    out = streaming.throttle_requests_stream(stream, cfg)
+    q = (
+        out.writeStream.format("memory").queryName("throttled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["url"]: r["fetch_ms"] for r in spark.sql(
+        "SELECT url, fetch_ms FROM throttled").collect()}
+    # fresh schedule: first tick one interval after creation, then spaced
+    assert [rows[f"http://a.com/{i}"] for i in range(3)] == [100, 200, 300]
+    # state carried across micro-batches: batch 2 rows continue the
+    # progression (max(clock=400, submit=150) → 400, 500)
+    assert [rows[f"http://a.com/{i}"] for i in (3, 4)] == [400, 500]
+    # custom per-domain interval honored independently
+    assert rows["http://slow.com/0"] == 250

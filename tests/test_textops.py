@@ -108,3 +108,37 @@ def test_minhash_signature_shape(spark, docs):
     by_id = {r["doc_id"]: tuple(r["sig"]) for r in sigs}
     assert by_id[0] == by_id[2]  # identical docs → identical signatures
     assert by_id[0] != by_id[3]
+
+
+def test_media_decode_real_numpy_path(spark):
+    """media_decode_features parses real binary payloads (SIMG raw
+    container) with numpy and reproduces a direct-numpy reference
+    computation bit-for-bit; malformed blobs are skipped."""
+    import numpy as np
+
+    from crawler import synth
+    from crawler.textops import decode_image_features, media_decode_features
+
+    blobs = synth.synth_media_blobs(spark, 20)
+    out = {r["media_ref"]: r for r in media_decode_features(blobs).collect()}
+    raw = {r["media_ref"]: bytes(r["blob"]) for r in blobs.collect()}
+    assert len(out) == 20
+    for ref, blob in raw.items():
+        w = int.from_bytes(blob[4:6], "big")
+        h = int.from_bytes(blob[6:8], "big")
+        c = blob[8]
+        img = np.frombuffer(blob, dtype=np.uint8, offset=9).reshape(h, w, c)
+        r = out[ref]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert r["n_pixel_bytes"] == w * h * c
+        assert r["mean"] == float(img.astype(np.float64).mean())
+        assert r["std"] == float(img.astype(np.float64).std())
+        assert r["channel_means"] == [float(m) for m in img.astype(np.float64).mean(axis=(0, 1))]
+        # scalar twin agrees with the distributed stage
+        assert decode_image_features(blob)[4] == r["mean"]
+    # malformed payloads are dropped, not crashed on
+    bad = spark.createDataFrame(
+        [("x://1", b"NOPE"), ("x://2", None), ("x://3", b"SIMG\x00\x04\x00\x04\x03junk")],
+        "media_ref string, blob binary",
+    )
+    assert media_decode_features(bad).count() == 0
