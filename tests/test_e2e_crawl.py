@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawler import synth
-from crawler.config import CrawlConfig, test_config
+from crawler.config import CrawlConfig
+from crawler.config import test_config as make_test_config
 from crawler.loop import Crawl
 from crawler.oracle import Oracle
 
@@ -48,7 +49,7 @@ def _delivered_urls(spark, c, cfg):
 def test_ring_crawl_exact_set(spark, wh_root):
     """SimpleCrawlSpec.scala:40-77: seed crawl/1, dup filter seeded with
     the seed → exactly the set {crawl/1..10}, each fetched once."""
-    cfg = test_config(seed_url_seen=True, max_waves=40)
+    cfg = make_test_config(seed_url_seen=True, max_waves=40)
     seeds = ["http://localhost:9090/crawl/1"]
     c, metrics = _run(spark, wh_root, seeds, cfg)
     delivered = _delivered_urls(spark, c, cfg)
@@ -63,7 +64,7 @@ def test_duplicate_seeds(spark, wh_root):
     """DuplicateFilteringSpec.scala:15-45: duplicate seeds are NOT
     deduped (seeds bypass the filter); extracted links are → 4
     deliveries, URL-seen set of 3."""
-    cfg = test_config(seed_url_seen=False, max_waves=40)
+    cfg = make_test_config(seed_url_seen=False, max_waves=40)
     seeds = ["http://localhost:9090/links/1", "http://localhost:9090/links/1"]
     c, _ = _run(spark, wh_root, seeds, cfg)
     delivered = _delivered_urls(spark, c, cfg)
@@ -81,7 +82,7 @@ def test_duplicate_seeds(spark, wh_root):
 def test_status_filter_e2e(spark, wh_root):
     """StatusCodeFilterSpec: 200+301 delivered, 404/503 fetched but
     dropped."""
-    cfg = test_config(seed_url_seen=True, max_waves=20)
+    cfg = make_test_config(seed_url_seen=True, max_waves=20)
     seeds = [
         "http://localhost:9090/1",
         "http://localhost:9090/status/301",
@@ -107,7 +108,7 @@ def test_status_filter_e2e(spark, wh_root):
 def test_termination_predicate(spark, wh_root):
     """TerminationSinkSpec: stop after exactly N fetched (the predicate
     is checked between waves, as the reference checks per item)."""
-    cfg = test_config(seed_url_seen=True, max_fetched=5, max_waves=40)
+    cfg = make_test_config(seed_url_seen=True, max_fetched=5, max_waves=40)
     seeds = [f"http://localhost:9090/{i}" for i in range(1, 41)]
     c, _ = _run(spark, wh_root, seeds, cfg)
     # one fetch per wave per TPD (all localhost = one TPD) → exactly 5
@@ -117,7 +118,7 @@ def test_termination_predicate(spark, wh_root):
 def test_forty_urls_each_once(spark, wh_root):
     """MultiInstanceSpec membership: 40 seeds each delivered exactly once
     (parallel instances = Spark partitions here)."""
-    cfg = test_config(seed_url_seen=True, max_waves=60, wave_ms=4000)
+    cfg = make_test_config(seed_url_seen=True, max_waves=60, wave_ms=4000)
     seeds = [f"http://localhost:9090/{i}" for i in range(1, 41)]
     c, _ = _run(spark, wh_root, seeds, cfg)
     delivered = _delivered_urls(spark, c, cfg)
@@ -130,7 +131,7 @@ def test_forty_urls_each_once(spark, wh_root):
 def test_oracle_equivalence_test_server(spark, wh_root, seed_filter):
     """Spark engine ≡ single-threaded oracle on the TestHttpServer graph:
     per-host crawl order, URL-seen membership, span sequences."""
-    cfg = test_config(seed_url_seen=seed_filter, max_waves=40)
+    cfg = make_test_config(seed_url_seen=seed_filter, max_waves=40)
     pages_pd, docs_pd, pages, docs = _fixture(spark)
     seeds = [
         "http://localhost:9090/crawl/3",

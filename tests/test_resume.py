@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crawler import synth
-from crawler.config import test_config
+from crawler.config import test_config as make_test_config
 from crawler.loop import Crawl
 
 
@@ -42,14 +42,14 @@ def test_kill_and_resume_identical(spark, tmp_path):
     pages, docs = _fixture(spark)
 
     # uninterrupted reference run
-    cfg = test_config(seed_url_seen=True, max_waves=40)
+    cfg = make_test_config(seed_url_seen=True, max_waves=40)
     c_ref = Crawl(spark, str(tmp_path / "ref"), cfg)
     c_ref.init(seeds, pages, docs)
     c_ref.run()
 
     # interrupted run: stop after 4 waves ("kill"), then resume in a NEW
     # Crawl instance that only sees the committed catalog
-    cfg_k = test_config(seed_url_seen=True, max_waves=4)
+    cfg_k = make_test_config(seed_url_seen=True, max_waves=4)
     c1 = Crawl(spark, str(tmp_path / "kill"), cfg_k)
     c1.init(seeds, pages, docs)
     c1.run()
@@ -64,7 +64,7 @@ def test_kill_and_resume_identical(spark, tmp_path):
         )
     )
 
-    cfg_r = test_config(seed_url_seen=True, max_waves=40)
+    cfg_r = make_test_config(seed_url_seen=True, max_waves=40)
     c2 = Crawl(spark, str(tmp_path / "kill"), cfg_r)
     c2.run()  # resumes from the catalog, no re-init
 
@@ -79,7 +79,7 @@ def test_kill_and_resume_identical(spark, tmp_path):
 def test_resume_noop_when_finished(spark, tmp_path):
     seeds = ["http://localhost:9090/links/1"]
     pages, docs = _fixture(spark)
-    cfg = test_config(seed_url_seen=True, max_waves=40)
+    cfg = make_test_config(seed_url_seen=True, max_waves=40)
     c = Crawl(spark, str(tmp_path / "wh"), cfg)
     c.init(seeds, pages, docs)
     c.run()
