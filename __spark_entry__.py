@@ -287,17 +287,44 @@ def _q_knn_cosine(spark, sf):
 
 
 def _q_knn_lsh(spark, sf):
-    """LSH-bucketed ANN (scale path): deterministic hyperplanes (seed
-    42) shared with the DuckDB oracle, cosine rounded for cross-engine
-    stability."""
+    """Multi-probe LSH-bucketed ANN (scale path): deterministic
+    hyperplanes (seed 42) shared with the DuckDB oracle; probes the
+    query bucket plus the 2 lowest-|margin| Hamming-1 buckets (Lv et
+    al. 2007), cosine rounded for cross-engine stability."""
     from crawler.textops import knn_lsh_bucketed
 
     emb = _read(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
-    out = knn_lsh_bucketed(emb.where("vec_id != 0"), q, k=10, n_planes=6)
+    out = knn_lsh_bucketed(emb.where("vec_id != 0"), q, k=10, n_planes=6, n_probes=3)
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH (12
+    planes, 3 bands of 4 bits) + exact cosine verify at ≥ 0.42 — the
+    embedding member of the dedup family; candidates are band-bucket
+    collisions, never all-pairs."""
+    from crawler.textops import embedding_neardup_pairs
+
+    emb = _read(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_neardup_pairs(emb, threshold=0.42, n_planes=12, n_bands=3)
+
+
+def _q_knn_ivf(spark, sf):
+    """IVF-flat ANN: deterministic sampled centroids (vec_id 1..8),
+    nprobe=2 nearest cells scanned, exact cosine within — the
+    inverted-file scale path next to the LSH one."""
+    from crawler.textops import knn_ivf
+
+    emb = _read(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return knn_ivf(emb.where("vec_id != 0"), q, k=10, n_cells=8, n_probe=2)
 
 
 def _q_langid(spark, sf):
@@ -478,12 +505,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "dedup_embedding": _q_dedup_embedding,
+        "knn_ivf": _q_knn_ivf,
     }
 
 
-def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
-    """Mirror of knn_lsh_bucketed: same seed-42 float64 hyperplane
-    literals, same sign-bit bucket, same cosine — pure DuckDB SQL."""
+def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64, n_probes: int = 3) -> str:
+    """Mirror of knn_lsh_bucketed (multi-probe): same seed-42 float64
+    hyperplane literals, same sign-bit bucket, same lowest-|margin|
+    Hamming-1 probe expansion, same cosine — pure DuckDB SQL."""
     from crawler.textops import lsh_planes
 
     planes = lsh_planes(n_planes, dim)
@@ -492,19 +522,99 @@ def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
         f"(CASE WHEN list_dot_product({v}, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
+    margin_rows = "\n              UNION ALL ".join(
+        f"SELECT {i} AS i, list_dot_product(qv, {lits[i]}) AS m FROM q"
+        for i in range(n_planes)
+    )
     return f"""
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
         ),
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        qb AS (SELECT ({bucket('qv')}) AS qbucket FROM q)
+        qb AS (SELECT ({bucket('qv')}) AS qbucket FROM q),
+        margins AS ({margin_rows}),
+        flips AS (SELECT i FROM margins ORDER BY abs(m) ASC, i ASC LIMIT {n_probes - 1}),
+        probes AS (SELECT qbucket AS p FROM qb
+                   UNION ALL SELECT xor(qbucket, 1 << i) FROM qb, flips)
         SELECT vec_id,
                round(list_dot_product(v, qv)
                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-        FROM e, q, qb
-        WHERE vec_id != 0 AND ({bucket('v')}) = qbucket
+        FROM e, q
+        WHERE vec_id != 0 AND ({bucket('v')}) IN (SELECT p FROM probes)
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """
+
+
+def _dedup_embedding_oracle_sql(
+    n_planes: int = 12, n_bands: int = 3, dim: int = 64, threshold: float = 0.42
+) -> str:
+    """Mirror of embedding_neardup_pairs: same banded sign-bit buckets
+    over the same seed-42 planes, same rounded-cosine verify."""
+    from crawler.textops import lsh_planes
+
+    bits_per = n_planes // n_bands
+    planes = lsh_planes(n_planes, dim)
+    lits = ["[" + ", ".join(repr(float(w)) for w in p) + "]" for p in planes]
+
+    def band_bucket(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lits[b * bits_per + i]}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per)
+        )
+
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({band_bucket(b)}) AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buckets AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id
+        ),
+        cos AS (
+          SELECT vec_a, vec_b,
+                 round(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+          FROM pairs
+          JOIN e ea ON ea.vec_id = vec_a
+          JOIN e eb ON eb.vec_id = vec_b
+        )
+        SELECT * FROM cos WHERE cos_sim >= {threshold} ORDER BY vec_a, vec_b
+    """
+
+
+_KNN_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY
+        round(list_dot_product(v, cv)
+              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        cell ASC) AS rn
+      FROM e CROSS JOIN c WHERE vec_id != 0
+    ),
+    qcells AS (
+      SELECT cell FROM c CROSS JOIN q
+      ORDER BY round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+               cell ASC LIMIT 2
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM e
+    JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1 AND a.cell IN (SELECT cell FROM qcells)
+    CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+"""
 
 
 def _ngram_lsh_oracle_sql() -> str:
@@ -648,6 +758,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "dedup_embedding": _dedup_embedding_oracle_sql(),
+        "knn_ivf": _KNN_IVF_ORACLE,
         "media_decode": _MEDIA_DECODE_ORACLE,
         "media_features": """
             WITH refs AS (

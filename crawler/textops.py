@@ -270,12 +270,20 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 
 
 def knn_lsh_bucketed(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
     """ANN scale path: random-hyperplane LSH (sign bits of `n_planes`
-    deterministic hyperplanes = bucket id); the query probes only its
-    bucket.  At 1e10 vectors the scan prunes to ~corpus/2^planes.
-    Deterministic planes derive from a fixed seed so results reproduce."""
+    deterministic hyperplanes = bucket id); the query probes its own
+    bucket plus, with ``n_probes > 1``, the Hamming-1 neighbor buckets
+    obtained by flipping the ``n_probes - 1`` planes with the smallest
+    |margin| (multi-probe LSH, Lv et al. VLDB 2007) — recall recovers
+    without extra hash tables.  At 1e10 vectors the scan prunes to
+    ~``n_probes``·corpus/2^planes.  Deterministic planes derive from a
+    fixed seed so results (and the DuckDB oracle) reproduce."""
     dim = len(query_vec)
     planes = lsh_planes(n_planes, dim)
 
@@ -301,13 +309,142 @@ def knn_lsh_bucketed(
         return out
 
     qvec = F.array(*[F.lit(float(x)) for x in query_vec])
-    qbits = int(
-        sum((1 << i) for i in range(n_planes) if float(np.dot(planes[i], query_vec)) > 0)
-    )
+    margins = planes @ np.asarray(query_vec, dtype=np.float64)
+    qbits = int(sum((1 << i) for i in range(n_planes) if margins[i] > 0))
+    flips = np.argsort(np.abs(margins), kind="stable")[: max(0, n_probes - 1)]
+    probes = [qbits] + [qbits ^ (1 << int(i)) for i in flips]
     return (
         embeddings.withColumn("bucket", bucket_expr(F.col("embedding")))
-        .where(F.col("bucket") == F.lit(qbits))
+        .where(F.col("bucket").isin(probes))
         .select("vec_id", cosine_expr(F.col("embedding"), qvec).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, banded-LSH candidates only
+    (never all-pairs): the ``n_planes`` sign bits split into ``n_bands``
+    bands; vectors sharing any (band, bucket) become candidates — the
+    hyperplane analogue of MinHash banding — then exact cosine verifies.
+    The self-join shuffles on (band, bucket), so at 1e10 vectors work is
+    sum-of-squares per bucket, not corpus².  Pure JVM expressions
+    throughout; planes are seeded so the DuckDB oracle mirrors exactly."""
+    bits_per = n_planes // n_bands
+    planes = lsh_planes(n_planes, dim)
+
+    def plane_dot(vec_col, plane):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    band_cols = []
+    for b in range(n_bands):
+        bucket = F.lit(0)
+        for i in range(bits_per):
+            bucket = bucket + (
+                (plane_dot(F.col("embedding"), planes[b * bits_per + i]) > 0).cast(
+                    "int"
+                )
+                * F.lit(1 << i)
+            )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    buckets = embeddings.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer of ``n_cells`` centroids
+    partitions the corpus into cells; the query scans only its
+    ``n_probe`` nearest cells, then exact cosine ranks within them
+    (inverted-file design per Jégou et al. PAMI 2011 / Faiss IndexIVFFlat).
+    Centroids here are a deterministic data sample (vec_id 1..n_cells) so
+    engine and SQL oracle stay in lockstep; at scale you'd swap in
+    k-means|| sampled centroids — the assignment/probe plan is identical.
+    Assignment is a JVM-side array_max over per-centroid cosine structs
+    (no shuffle, no UDF); cosines are rounded before argmax so the
+    cell choice is reproducible across engines."""
+    cents = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embeddings.where(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells)
+        ).collect()
+    }
+    cells = sorted(cents)
+
+    def cos_to(vec_col, c):
+        return F.round(cosine_expr(vec_col, F.array(*[F.lit(x) for x in c])), 6)
+
+    # max over struct(cos, -cell) → highest cosine, ties to the lowest cell id
+    structs = [
+        F.struct(
+            cos_to(F.col("embedding"), cents[c]).alias("cos"),
+            F.lit(-c).alias("negcell"),
+            F.lit(c).alias("cell"),
+        )
+        for c in cells
+    ]
+    assigned = F.array_max(F.array(*structs)).getField("cell")
+
+    qv_np = np.asarray(query_vec, dtype=np.float64)
+
+    def np_cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    qcells = sorted(cells, key=lambda c: (-np_cos(qv_np, np.asarray(cents[c])), c))[
+        :n_probe
+    ]
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.withColumn("cell", assigned)
+        .where(F.col("cell").isin(qcells))
+        .select("vec_id", F.round(cosine_expr(F.col("embedding"), qv), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )

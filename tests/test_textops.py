@@ -142,3 +142,156 @@ def test_media_decode_real_numpy_path(spark):
         "media_ref string, blob binary",
     )
     assert media_decode_features(bad).count() == 0
+
+
+def _np_cosine(a, b):
+    import numpy as np
+
+    return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+
+def test_knn_lsh_multiprobe_numpy_mirror(spark):
+    """Multi-probe LSH kNN equals an independent numpy mirror: same
+    buckets, same lowest-|margin| Hamming-1 probe set, same top-k."""
+    import numpy as np
+
+    from crawler.textops import knn_lsh_bucketed, lsh_planes
+
+    rng = np.random.RandomState(11)
+    dim, n_planes, n_probes, k = 16, 5, 3, 6
+    vecs = {i: rng.randn(dim) for i in range(1, 61)}
+    q = rng.randn(dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in knn_lsh_bucketed(
+            emb, [float(x) for x in q], k=k, n_planes=n_planes, n_probes=n_probes
+        ).collect()
+    ]
+
+    planes = lsh_planes(n_planes, dim)
+    margins = planes @ q
+    qb = int(sum((1 << i) for i in range(n_planes) if margins[i] > 0))
+    flips = np.argsort(np.abs(margins), kind="stable")[: n_probes - 1]
+    probes = {qb} | {qb ^ (1 << int(i)) for i in flips}
+    cand = [
+        i
+        for i, v in vecs.items()
+        if int(sum((1 << p) for p in range(n_planes) if float(planes[p] @ v) > 0))
+        in probes
+    ]
+    expect = sorted(
+        ((i, _np_cosine(vecs[i], q)) for i in cand), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert out == expect
+    # multi-probe candidates strictly contain the single-probe bucket's
+    single = {
+        r["vec_id"]
+        for r in knn_lsh_bucketed(
+            emb, [float(x) for x in q], k=60, n_planes=n_planes, n_probes=1
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in knn_lsh_bucketed(
+            emb, [float(x) for x in q], k=60, n_planes=n_planes, n_probes=n_probes
+        ).collect()
+    }
+    assert single <= multi
+
+
+def test_embedding_neardup_planted(spark):
+    """Banded-LSH embedding near-dup finds a planted near-identical
+    pair and matches a numpy mirror of the banding + verify exactly."""
+    import numpy as np
+
+    from crawler.textops import embedding_neardup_pairs, lsh_planes
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    vecs = {i: rng.randn(dim) for i in range(40)}
+    v = rng.randn(dim)
+    vecs[100] = v
+    vecs[101] = v + 0.01 * rng.randn(dim)  # planted near-dup (cos ≈ 1)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vv]) for i, vv in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = [
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=12, n_bands=3, dim=dim
+        ).collect()
+    ]
+    planted = [(a, b, c) for a, b, c in out if (a, b) == (100, 101)]
+    assert planted and planted[0][2] > 0.99
+
+    # numpy mirror: same bands → same candidate set → same verified pairs
+    planes = lsh_planes(12, dim)
+    sigs = {
+        i: [
+            int(
+                sum(
+                    (1 << j)
+                    for j in range(4)
+                    if float(planes[b * 4 + j] @ vv) > 0
+                )
+            )
+            for b in range(3)
+        ]
+        for i, vv in vecs.items()
+    }
+    ids = sorted(vecs)
+    expect = sorted(
+        (a, b, _np_cosine(vecs[a], vecs[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if any(sigs[a][band] == sigs[b][band] for band in range(3))
+        and _np_cosine(vecs[a], vecs[b]) >= 0.9
+    )
+    assert out == expect
+
+
+def test_knn_ivf_numpy_mirror(spark):
+    """IVF-flat kNN equals a numpy mirror: same sampled centroids, same
+    rounded-cosine argmax assignment, same nprobe cells, same top-k."""
+    import numpy as np
+
+    from crawler.textops import knn_ivf
+
+    rng = np.random.RandomState(3)
+    dim, n_cells, n_probe, k = 12, 4, 2, 5
+    vecs = {i: rng.randn(dim) for i in range(1, 81)}
+    q = rng.randn(dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in knn_ivf(
+            emb, [float(x) for x in q], k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    ]
+
+    cents = {c: vecs[c] for c in range(1, n_cells + 1)}
+    assign = {
+        i: min(
+            sorted(cents),
+            key=lambda c: (-_np_cosine(vv, cents[c]), c),
+        )
+        for i, vv in vecs.items()
+    }
+    qcells = sorted(sorted(cents), key=lambda c: (-_np_cosine(q, cents[c]), c))[
+        :n_probe
+    ]
+    cand = [i for i, cell in assign.items() if cell in qcells]
+    expect = sorted(
+        ((i, _np_cosine(vecs[i], q)) for i in cand), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert out == expect
+    # the probed cells really pruned the corpus (not a full scan)
+    assert len(cand) < len(vecs)
