@@ -191,6 +191,42 @@ def throttle_requests_stream(requests, cfg: CrawlConfig):
     )
 
 
+def crawl_stats_windowed(
+    fetched_stream: DataFrame, window_s: int = 10, watermark_s: int = 30
+) -> DataFrame:
+    """The StatsCollector as a streaming windowed aggregation with an
+    event-time watermark — the continuous twin of `lineage.crawl_stats`
+    (StatsCollector fold, Stats.scala / CrawlServiceLike stats sink).
+
+    Per (tumbling event-time window, status) it emits fetched-URL counts
+    and byte totals.  The watermark bounds state: a window's aggregate
+    is finalized and emitted once event time passes its end by
+    ``watermark_s``, after which its state is evicted and later-arriving
+    rows for it are dropped — so state stays O(active windows), not
+    O(crawl history), at 10^10-URL scale.  Input needs the FETCHED
+    event-time/measure columns (fetch_ms, status, n_bytes)."""
+    return (
+        fetched_stream.withColumn(
+            "event_time", F.timestamp_millis(F.col("fetch_ms"))
+        )
+        .withWatermark("event_time", f"{watermark_s} seconds")
+        .groupBy(
+            F.window("event_time", f"{window_s} seconds").alias("win"), "status"
+        )
+        .agg(
+            F.count("*").alias("urls_fetched"),
+            F.sum("n_bytes").alias("bytes_fetched"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "status",
+            "urls_fetched",
+            "bytes_fetched",
+        )
+    )
+
+
 def apply_intake_batch(
     wh: Warehouse, batch: DataFrame, batch_id: int, cfg: CrawlConfig
 ) -> bool:

@@ -264,3 +264,52 @@ def test_streaming_stateful_throttler(spark, tmp_path):
     assert [rows[f"http://a.com/{i}"] for i in (3, 4)] == [400, 500]
     # custom per-domain interval honored independently
     assert rows["http://slow.com/0"] == 250
+
+
+def test_crawl_stats_windowed_watermark(spark, tmp_path):
+    """StatsCollector as a streaming windowed agg: tumbling event-time
+    windows close once the watermark passes, their aggregates emit in
+    append mode, and a row arriving beyond the watermark is dropped
+    (bounded state — the 10^10-scale requirement)."""
+    from crawler import streaming
+
+    drop = tmp_path / "fetched"
+    drop.mkdir()
+    # batch 1: two 200s in [10s,20s), one 404 in [20s,30s), plus a
+    # watermark driver at 200s (watermark 30s → closes windows < 170s)
+    with open(drop / "b1.json", "w") as f:
+        for ms, status, nb in (
+            (10_000, 200, 100),
+            (15_000, 200, 50),
+            (25_000, 404, 10),
+            (200_000, 200, 1),
+        ):
+            f.write(json.dumps({"fetch_ms": ms, "status": status, "n_bytes": nb}) + "\n")
+    stream = spark.readStream.schema("fetch_ms long, status int, n_bytes long").json(
+        str(drop)
+    )
+    out = streaming.crawl_stats_windowed(stream, window_s=10, watermark_s=30)
+    q = (
+        out.writeStream.format("memory").queryName("winstats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ws"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 1 → watermark advances to 170s
+    # batch 2: one row far behind the watermark (dropped), one current
+    with open(drop / "b2.json", "w") as f:
+        f.write(json.dumps({"fetch_ms": 12_000, "status": 200, "n_bytes": 999}) + "\n")
+        f.write(json.dumps({"fetch_ms": 205_000, "status": 200, "n_bytes": 2}) + "\n")
+    q.processAllAvailable()  # closed windows emit; late row dropped
+    q.stop()
+    q.awaitTermination()
+    rows = {
+        (int(r["win_start"].timestamp()), r["status"]): (
+            r["urls_fetched"],
+            r["bytes_fetched"],
+        )
+        for r in spark.sql("SELECT * FROM winstats").collect()
+    }
+    # exactly the two closed windows; the late 999-byte row did NOT
+    # reopen/inflate [10s,20s), and the open [200s,210s) window is absent
+    assert rows == {(10, 200): (2, 150), (20, 404): (1, 10)}
