@@ -375,6 +375,35 @@ def _q_fingerprint(spark, sf):
     )
 
 
+def _q_curate_corpus(spark, sf):
+    """The end-to-end training-data curation pipeline as ONE declarative
+    plan: language gate (stopword-ratio en) → quality gate (≥ 0.6) →
+    exact-dedup first-wins (min doc_id per md5(text)).  Composition of
+    the individually-verified langid/quality/dedup stages; Catalyst
+    fuses the gates into the scan and the dedup is one shuffle on the
+    16-byte fingerprint — the shape a 100 TB curation job wants."""
+    docs = _read(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    sw = F.array(*[F.lit(w) for w in EN_SW])
+    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    quality = F.round(F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5 + alpha * 0.5, 6)
+    kept = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        quality.alias("quality"),
+        swr.alias("swr"),
+    ).where((F.col("swr") >= 0.08) & (F.col("quality") >= 0.6))
+    first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(first, ["fp", "doc_id"]).select("doc_id", "n_tokens", "quality")
+
+
 def _q_pricing_summary(spark, sf):
     """Catalyst agg coverage (partial+final, multiple measures)."""
     li = _read(spark, sf, "lineitem")
@@ -507,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "dedup_embedding": _q_dedup_embedding,
         "knn_ivf": _q_knn_ivf,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -760,6 +790,23 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "knn_ivf": _KNN_IVF_ORACLE,
+        "curate_corpus": f"""
+            WITH scored AS (
+              SELECT doc_id, md5(text) AS fp,
+                     len(string_split(lower(text), ' ')) AS n_tokens,
+                     round(least(greatest(len(string_split(lower(text), ' ')), 1) / 100.0, 1.0) * 0.5
+                           + (CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                              / greatest(len(text), 1)) * 0.5, 6) AS quality,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+                       / greatest(len(string_split(lower(text), ' ')), 1) AS swr
+              FROM documents
+            ),
+            kept AS (SELECT * FROM scored WHERE swr >= 0.08 AND quality >= 0.6),
+            first AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+            SELECT k.doc_id, k.n_tokens, k.quality
+            FROM kept k JOIN first USING (fp, doc_id)
+        """,
         "media_decode": _MEDIA_DECODE_ORACLE,
         "media_features": """
             WITH refs AS (

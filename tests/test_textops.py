@@ -295,3 +295,27 @@ def test_knn_ivf_numpy_mirror(spark):
     assert out == expect
     # the probed cells really pruned the corpus (not a full scan)
     assert len(cand) < len(vecs)
+
+
+def test_curate_corpus_first_wins(spark, tmp_path):
+    """curate_corpus pipeline: language+quality gates compose with
+    exact-dedup first-wins — of two identical surviving docs only the
+    min doc_id remains; gated-out docs never reach the dedup."""
+    import __spark_entry__ as E
+
+    good = (
+        "the quick brown fox and the lazy dog are in the park with a ball "
+        "and it is a fine day for all of the animals to be on the grass "
+        "near the river bank where the water is clear and the air is warm"
+    )
+    rows = [
+        (1, good),
+        (7, good),  # exact dup of 1 — must lose first-wins
+        (3, "zzz qqq xxx"),  # fails the language gate
+        (4, good + " indeed the day is long and the sun is high above"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"] for r in E._q_curate_corpus(spark, str(tmp_path)).collect()}
+    assert out == {1, 4}
