@@ -196,3 +196,43 @@ def _assert_equivalent(spark, c: Crawl, o) -> None:
     assert set(got_spans) == set(o.fetched_spans)
     for u in got_spans:
         assert got_spans[u] == o.fetched_spans[u], f"span sequence differs: {u}"
+
+
+@pytest.mark.parametrize(
+    "seed,n_hosts,ppl,mega,delay,wave_ms,salt,robots,extra_delay",
+    [
+        (101, 8, 5, 24, 50, 250, 3, True, {"h002.com": 125}),
+        (202, 10, 4, 30, 150, 300, 5, False, {}),
+    ],
+)
+def test_fuzz_crawl_equivalence(
+    spark, wh_root, seed, n_hosts, ppl, mega, delay, wave_ms, salt, robots, extra_delay
+):
+    """Config+graph fuzz: random Zipf graphs (different seeds/shapes)
+    under different politeness budgets, robots modes, per-domain
+    overrides and salt bucket counts must stay fully equivalent to the
+    reference-semantics oracle — not just the fixed fixtures."""
+    cfg = CrawlConfig(
+        per_domain_delay_ms=delay,
+        wave_ms=wave_ms,
+        seed_url_seen=True,
+        max_waves=10,
+        bloom_shards=8,
+        skew_salt_buckets=salt,
+        fetch_robots=robots,
+        domain_delays=extra_delay,
+    )
+    pages_pd, docs_pd = synth.multihost_fixture(
+        n_hosts=n_hosts, pages_per_host=ppl, mega_host_pages=mega, seed=seed
+    )
+    pages, docs = synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd)
+    seeds = [
+        "http://h000.com/p/0",
+        "http://mega.com/p/0",
+        f"http://h{(seed % n_hosts):03d}.com/p/1",
+    ]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, pages, docs)
+    c.run()
+    o = Oracle(pages_pd, docs_pd, cfg).run(seeds)
+    _assert_equivalent(spark, c, o)
