@@ -377,15 +377,31 @@ def embedding_neardup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    # norms once per VECTOR (not per candidate pair): the verify stage
+    # then does a single dot-product traversal per pair instead of three
+    # interpreted higher-order aggregates — same float math, ~3× cheaper
+    # (dot / (na * nb) exactly as cosine_expr computes it)
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), norm.alias("na")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), norm.alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
