@@ -243,23 +243,28 @@ def _q_ngram_jaccard_dups(spark, sf):
     the full corpus is never n²-joined)."""
     pairs = _lsh_candidate_pairs(spark, sf)
     docs = _read(spark, sf, "documents")
+    # set SIZE projected once per doc; per pair only ONE set traversal
+    # (intersect) remains — |a ∪ b| = |a| + |b| - |a ∩ b|, exactly the
+    # formula the DuckDB oracle uses (array ops are interpreted, so a
+    # second union traversal per pair is pure waste)
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_distinct(F.split(F.lower("text"), " ")).alias("sh"),
-    )
+    ).withColumn("n", F.size("sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                      F.col("n").alias("n_a")), "doc_a"
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                      F.col("n").alias("n_b")), "doc_b"
         )
         .select(
             "doc_a", "doc_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
+                inter / (F.col("n_a") + F.col("n_b") - inter).cast("double"), 4
             ).alias("jaccard"),
         )
         .where("jaccard >= 0.5")
