@@ -185,6 +185,50 @@ def _q_simhash(spark, sf):
     )
 
 
+def _q_simhash_dups(spark, sf):
+    """SimHash near-dup PAIRS — the scale path driver-checked end to
+    end: pigeonhole 16-bit-chunk blocking (any pair with hamming ≤ 3 on
+    a 64-bit hash shares an exact chunk) → bit_count(xor) verify on the
+    colliding pairs only.  Never all-pairs; mirrors
+    crawler.textops.simhash_dedup over the hi/lo halves the SQL oracle
+    can reproduce exactly."""
+    from crawler.textops import simhash64_expr
+
+    docs = _read(spark, sf, "documents")
+    sim = simhash64_expr("text")
+    h = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.shiftrightunsigned(sim, 32).alias("hi"),
+        sim.bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+    )
+    chunk_structs = []
+    for c in range(4):
+        src = F.col("lo") if c < 2 else F.col("hi")
+        chunk = F.shiftright(src, (c % 2) * 16).bitwiseAND(F.lit(0xFFFF))
+        chunk_structs.append(
+            F.struct(F.lit(c).alias("chunk_id"), chunk.cast("long").alias("chunk"))
+        )
+    chunks = h.select(
+        "doc_id", "hi", "lo", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("doc_id", "hi", "lo", F.col("cc.chunk_id"), F.col("cc.chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    ).cast("int")
+    return (
+        a.join(b, on=["chunk_id", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
 #: MinHash/LSH banding parameters shared by the Spark query and the
 #: DuckDB oracle (word-level signatures; md5 hex-string min keeps both
 #: engines value-identical — fixed-width lowercase hex orders like the
@@ -527,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_wins": _q_dedup_first_wins,
         "minhash_words": _q_minhash_words,
         "simhash": _q_simhash,
+        "simhash_dups": _q_simhash_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -697,6 +742,39 @@ def _ngram_lsh_oracle_sql() -> str:
     """
 
 
+#: SimHash fingerprint as pure DuckDB SQL — same md5 token halves and
+#: bit-vote as crawler.textops.simhash64_expr; shared by the `simhash`
+#: (fingerprints) and `simhash_dups` (pairs) oracles.
+_SIMHASH_FP_CTES = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (CASE WHEN b.b < 32 THEN (lo >> b.b)
+                                 ELSE (hi >> (b.b - 32)) END) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS sim_hi,
+             sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS sim_lo
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "status_filter": """
@@ -760,37 +838,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "ngram_jaccard_dups": _ngram_lsh_oracle_sql(),
-        "simhash": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                        x -> x <> '')) AS w
-              FROM documents
-            ),
-            h AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
-                     ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
-              FROM toks
-            ),
-            votes AS (
-              SELECT doc_id, b.b,
-                     sum(CASE WHEN (CASE WHEN b.b < 32 THEN (lo >> b.b)
-                                         ELSE (hi >> (b.b - 32)) END) & 1 = 1
-                              THEN 1 ELSE -1 END) AS v
-              FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
-              GROUP BY doc_id, b.b
-            ),
-            fp AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS sim_hi,
-                     sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS sim_lo
-              FROM votes GROUP BY doc_id
-            )
+        "simhash": _SIMHASH_FP_CTES + r"""
             SELECT d.doc_id,
                    CAST(coalesce(fp.sim_hi, 0) AS BIGINT) AS sim_hi,
                    CAST(coalesce(fp.sim_lo, 0) AS BIGINT) AS sim_lo
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        "simhash_dups": _SIMHASH_FP_CTES + r""",
+            sig AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(fp.sim_hi, 0) AS BIGINT) AS hi,
+                     CAST(coalesce(fp.sim_lo, 0) AS BIGINT) AS lo
+              FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+            ),
+            chunks AS (
+              SELECT doc_id, hi, lo, c.c AS chunk_id,
+                     CASE WHEN c.c < 2 THEN (lo >> (c.c * 16)) & 65535
+                          ELSE (hi >> ((c.c - 2) * 16)) & 65535 END AS chunk
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+            FROM chunks a
+            JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         """,
         "knn_lsh": _knn_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),

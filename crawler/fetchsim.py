@@ -23,7 +23,9 @@ job here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 def _ok_spans():
     """Spans literal for the default "OK!" route (lazy: Column literals
@@ -134,6 +136,65 @@ def fetch(scheduled: DataFrame, pages: DataFrame, documents: DataFrame) -> DataF
         resp_headers.alias("response_headers"),
         content_type_expr(resp_headers).alias("content_type"),
         span_bytes_expr(spans).alias("n_bytes"),
+    )
+
+
+def content_encoding_expr(headers_col) -> F.Column:
+    """Content-Encoding header value, case-insensitively (same lookup
+    shape as contentType, Responses.scala:37-39)."""
+    c = F.col(headers_col) if isinstance(headers_col, str) else headers_col
+    matches = F.filter(
+        F.coalesce(c, F.array().cast("array<struct<name:string,value:string>>")),
+        lambda h: F.lower(h["name"]) == "content-encoding",
+    )
+    return F.try_element_at(matches, F.lit(1))["value"]
+
+
+@pandas_udf(T.BinaryType())
+def _decode_entity_udf(entity: pd.Series, encoding: pd.Series) -> pd.Series:
+    """gzip/deflate entity decoding over one Arrow batch.  Decompression
+    of opaque variable-length streams has no columnar/numpy form — the
+    zlib call is inherently per-element, but the data crosses the JVM
+    boundary once per Arrow batch, not per row."""
+    import zlib
+
+    out = []
+    for e, enc in zip(entity, encoding):
+        if e is None:
+            out.append(None)
+            continue
+        data = bytes(e)
+        name = (enc or "identity").strip().lower()
+        try:
+            if name in ("gzip", "x-gzip"):
+                # wbits=47: auto-detect gzip or zlib wrapper
+                out.append(zlib.decompress(data, 47))
+            elif name == "deflate":
+                try:
+                    out.append(zlib.decompress(data, 15))  # RFC1950 zlib
+                except zlib.error:
+                    out.append(zlib.decompress(data, -15))  # raw deflate
+            else:
+                out.append(data)  # identity / unknown codings pass through
+        except zlib.error:
+            out.append(data)  # undecodable payload passes through unchanged
+    return pd.Series(out)
+
+
+def decode_entity(
+    df: DataFrame, entity_col: str = "entity", headers_col: str = "response_headers"
+) -> DataFrame:
+    """P9: the reference's response-decoding chain NoEncoding → Gzip →
+    Deflate (CrawlServiceLike.scala:128) as an Arrow-vectorized stage.
+
+    Replaces `entity_col` in place with the decoded bytes, selecting the
+    codec from the row's Content-Encoding header (case-insensitive, like
+    contentType).  This is the stage a real mapInPandas HTTP fetcher
+    plugs in front of span parsing; the fetch simulator itself emits
+    spans directly, so the wave loop never pays this cost."""
+    return df.withColumn(
+        entity_col,
+        _decode_entity_udf(F.col(entity_col), content_encoding_expr(headers_col)),
     )
 
 

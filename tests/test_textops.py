@@ -319,3 +319,23 @@ def test_curate_corpus_first_wins(spark, tmp_path):
     )
     out = {r["doc_id"] for r in E._q_curate_corpus(spark, str(tmp_path)).collect()}
     assert out == {1, 4}
+
+
+def test_simhash_dups_query_matches_textops_kernel(spark, tmp_path):
+    """The driver-checked simhash_dups query (hi/lo halves, chunk
+    blocking in SQL-reproducible form) must emit exactly the pair set of
+    textops.simhash_dedup (the 64-bit kernel) at the same threshold."""
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    expected = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in textops.simhash_dedup(docs, hamming_max=3).collect()
+    }
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in E._q_simhash_dups(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
