@@ -195,27 +195,32 @@ def _q_simhash_dups(spark, sf):
     from crawler.textops import simhash64_expr
 
     docs = _read(spark, sf, "documents")
-    sim = simhash64_expr("text")
+    # ONE sim column per doc (a single ArrowEvalPython evaluation);
+    # chunks and hamming derive from it JVM-side — splitting into hi/lo
+    # first would evaluate the bit-vote UDF twice per side
+    # simhash64_expr is provably non-null (coalesce inside), so the
+    # join's isnotnull(chunk) pushdown folds away instead of re-deriving
+    # the UDF in a Filter — one bit-vote evaluation per side
     h = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.shiftrightunsigned(sim, 32).alias("hi"),
-        sim.bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+        simhash64_expr("text").alias("sim"),
     )
-    chunk_structs = []
-    for c in range(4):
-        src = F.col("lo") if c < 2 else F.col("hi")
-        chunk = F.shiftright(src, (c % 2) * 16).bitwiseAND(F.lit(0xFFFF))
-        chunk_structs.append(
-            F.struct(F.lit(c).alias("chunk_id"), chunk.cast("long").alias("chunk"))
-        )
+    # explode plain chunk ids FIRST (the Generate node is a projection-
+    # collapse barrier), then derive the chunk value from the already-
+    # computed sim column — otherwise collapse inlines sim's UDF into
+    # each of the 4 chunk expressions and it evaluates multiple times
     chunks = h.select(
-        "doc_id", "hi", "lo", F.explode(F.array(*chunk_structs)).alias("cc")
-    ).select("doc_id", "hi", "lo", F.col("cc.chunk_id"), F.col("cc.chunk"))
+        "doc_id",
+        "sim",
+        F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("chunk_id"),
+    ).withColumn(
+        "chunk",
+        F.expr("shiftrightunsigned(sim, chunk_id * 16)")
+        .bitwiseAND(F.lit(0xFFFF))
+        .cast("long"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = (
-        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
-        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
-    ).cast("int")
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).cast("int")
     return (
         a.join(b, on=["chunk_id", "chunk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

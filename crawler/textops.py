@@ -188,9 +188,14 @@ def _bit_vote_udf(his: pd.Series, los: pd.Series) -> pd.Series:
 
 def simhash64_expr(text_col) -> F.Column:
     """64-bit SimHash over whitespace tokens (Charikar 2002): JVM md5
-    token hashing + vectorized numpy bit-vote."""
+    token hashing + vectorized numpy bit-vote.
+
+    The coalesce makes the column provably non-null (the UDF returns 0,
+    never null, for empty docs): otherwise a join on a derived key
+    pushes an isnotnull() filter that re-derives the UDF and the
+    bit-vote silently evaluates twice per join side."""
     his, los = word_hash_exprs(text_col)
-    return _bit_vote_udf(his, los)
+    return F.coalesce(_bit_vote_udf(his, los), F.lit(0).cast("long"))
 
 
 def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
