@@ -219,7 +219,9 @@ def _q_simhash_dups(spark, sf):
         .bitwiseAND(F.lit(0xFFFF))
         .cast("long"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    from crawler.textops import spread
+
+    a, b = spread(chunks, "doc_id").alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).cast("int")
     return (
         a.join(b, on=["chunk_id", "chunk"])
@@ -277,7 +279,11 @@ def _lsh_candidate_pairs(spark, sf):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
+    from crawler.textops import spread
+
+    # probe side spread across tasks: the build side broadcasts, so
+    # without this the hot buckets' quadratic emit runs in ~one task
+    a, b = spread(buckets, "doc_id").alias("a"), buckets.alias("b")
     return (
         a.join(b, on=["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -87,6 +87,20 @@ def minhash_signatures(
     return documents.select("doc_id", sig.alias("sig"))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread rows across tasks before a broadcast-probe self-join.
+
+    Bucket self-joins broadcast the tiny build side, so the quadratic
+    pair expansion runs with the PROBE side's task count — which for a
+    small parquet scan is one task, serializing every hot bucket's
+    m² emit.  An explicit repartition (user-specified counts are exempt
+    from AQE coalescing) on a high-cardinality column parallelizes the
+    expansion; partitioning by the JOIN key would instead put each hot
+    bucket back into a single task."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *cols)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 16,
@@ -117,7 +131,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = buckets.alias("a")
+    a = spread(buckets, "doc_id").alias("a")
     b = buckets.alias("b")
     return (
         a.join(b, on=["band", "bucket"])
@@ -219,7 +233,7 @@ def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
             )
         ).alias("cc"),
     ).select("doc_id", "sim", "cc.chunk_id", "cc.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = spread(chunks, "doc_id").alias("a"), chunks.alias("b")
     return (
         a.join(b, on=["chunk_id", "chunk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -370,7 +384,7 @@ def embedding_neardup_pairs(
         "vec_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("vec_id", "bb.band", "bb.bucket")
     pairs = (
-        buckets.alias("a")
+        spread(buckets, "vec_id").alias("a")
         .join(
             buckets.alias("b"),
             on=[
