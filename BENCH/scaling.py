@@ -73,7 +73,11 @@ def measure_pair(lo: int, hi: int, n_urls: int, reps: int) -> dict:
 
 
 def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    # default sized so fixed per-wave cost (driver planning, worker
+    # spawn — ~4-6s/JVM regardless of cores) is amortized: at 4M URLs it
+    # is ~6% of local[4]'s wall and the ratio measures overhead, not the
+    # engine; measured slopes put the asymptotic E at ~0.89
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     pairs = [(1, 4), (2, 8)]
     if len(sys.argv) > 4:
@@ -132,7 +136,16 @@ Notes
   the skewed input still scales.
 - above ~8-16 threads this host degrades erratically (hypervisor
   overcommit: 35-40% steal / up to 76% system time under 32-wide load —
-  PLANS.md); the gate pair sits fully inside the hardware-scalable region.
+  PLANS.md); every wave task thread also drives an Arrow Python worker
+  (the bloom-probe cogroup), so local[8] schedules ~16 runnable
+  processes — beyond the stable region, which is why the secondary
+  local[2]→local[8] pair measures the sandbox, not the plan.  The gate
+  pair sits fully inside the hardware-scalable region.
+- input sized so the fixed per-JVM cost (~4-6s driver planning +
+  Python-worker spawn, independent of cores) is amortized: measured E
+  on the gate pair is 0.70 at 4M URLs, 0.81 at 12M, 0.89 at 16M —
+  the small-input numbers measure overhead, not the engine (PLANS.md
+  "Scaling evidence").
 
 Generated by BENCH/scaling.py ({time.strftime('%Y-%m-%d %H:%M:%S')}).
 """

@@ -20,7 +20,8 @@ Module map (SURVEY.md §7):
   bloom       sharded bloom filter + cuckoo tier (numpy, mergeable blobs)
   dedup       URL-seen wave dedup: bloom prefilter + exact anti-join backstop
   politeness  per-TPD scheduler — salted top-k + closed-form JVM tick emit
-  fetchsim    network-free fetch stage: headers/content-type, join vs pages
+  fetchsim    network-free fetch stage: headers/content-type, gzip/deflate
+              entity decode (P9), join vs pages
   frontier    frontier merge / seq assignment / salted skew partitioning
   robots      robots.txt fetch + disallow-prefix cache
   psl         vendored public-suffix-list snapshot (tpd data)
