@@ -29,6 +29,7 @@ is what makes resume exact (SURVEY.md §2.6 O8).
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -46,6 +47,28 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _claim_write_json(path: str, obj: dict) -> bool:
+    """Atomically create `path` with `obj`'s content; False if it exists.
+
+    Unlike ``os.replace`` (which silently OVERWRITES a concurrent
+    writer's file), ``os.link`` fails with EEXIST when the target is
+    already present — the POSIX-atomic "claim this slot" primitive.
+    Readers still never observe a partial file: content lands in the
+    tmp file first, the link only exposes the finished bytes."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 class Table:
@@ -125,31 +148,39 @@ class Table:
             return [], 0
         return kept, rows
 
+    def _publish(self, manifest: dict) -> int:
+        """Stage `manifest` at the next free version slot, atomically.
+
+        Two concurrent stagers (the wave loop's frontier_adds append vs
+        the streaming intake's) can both read latest = N and race for
+        v = N+1; the claim-link fails for the loser — no manifest is
+        ever silently clobbered — and the loser retries at the next
+        slot.  Manifest CONTENT (parent, file list) is already fixed by
+        the caller, so a retry only renumbers the slot."""
+        while True:
+            v = self.latest_version() + 1
+            manifest["version"] = v
+            if _claim_write_json(self._meta_path(v), manifest):
+                return v
+
     def append(self, df: DataFrame, base_version: int | None = None) -> int:
         """Stage a new version = base's files + df's files. Returns it."""
         base = self.latest_version() if base_version is None else base_version
         new_files, new_rows = self._write_datafiles(df)
         parent = self._manifest(base)
-        v = self.latest_version() + 1
-        _atomic_write_json(
-            self._meta_path(v),
+        return self._publish(
             {
-                "version": v,
                 "parent": base,
                 "files": parent["files"] + new_files,
                 "rows": parent.get("rows", 0) + new_rows,
-            },
+            }
         )
-        return v
 
     def overwrite(self, df: DataFrame) -> int:
         new_files, new_rows = self._write_datafiles(df)
-        v = self.latest_version() + 1
-        _atomic_write_json(
-            self._meta_path(v),
-            {"version": v, "parent": None, "files": new_files, "rows": new_rows},
+        return self._publish(
+            {"parent": None, "files": new_files, "rows": new_rows}
         )
-        return v
 
     # ---- keyed snapshots (per-file key tracking → partial rewrites) ----
     #
@@ -171,18 +202,14 @@ class Table:
     def overwrite_keyed(self, df: DataFrame, key_col: str) -> int:
         """overwrite + record each data file's key set in the manifest."""
         new_files, new_rows = self._write_datafiles(df)
-        v = self.latest_version() + 1
-        _atomic_write_json(
-            self._meta_path(v),
+        return self._publish(
             {
-                "version": v,
                 "parent": None,
                 "files": new_files,
                 "rows": new_rows,
                 "file_keys": self._file_keys(new_files, key_col),
-            },
+            }
         )
-        return v
 
     def keys_needing_rewrite(self, version: int, changed: list) -> list | None:
         """Expand a changed-key set to file granularity: the union of key
@@ -225,18 +252,14 @@ class Table:
             else:
                 keep.append(f)
         fk.update(nk)
-        v = self.latest_version() + 1
-        _atomic_write_json(
-            self._meta_path(v),
+        return self._publish(
             {
-                "version": v,
                 "parent": base_version,
                 "files": keep + new_files,
                 "rows": parent.get("rows", 0) - dropped_rows + new_rows,
                 "file_keys": fk,
-            },
+            }
         )
-        return v
 
     def rebase_delta(self, staged: int, old_base: int, new_base: int) -> int:
         """Rebase a staged version onto a base that moved underneath it
@@ -259,17 +282,13 @@ class Table:
             import pyarrow.parquet as pq
 
             delta_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in delta)
-        v = self.latest_version() + 1
-        _atomic_write_json(
-            self._meta_path(v),
+        return self._publish(
             {
-                "version": v,
                 "parent": staged,
                 "files": staged_m["files"] + delta,
                 "rows": staged_m.get("rows", 0) + delta_rows,
-            },
+            }
         )
-        return v
 
 
 class Catalog:
@@ -298,33 +317,34 @@ class Catalog:
 
     @contextlib.contextmanager
     def lock(self, timeout_s: float = 60.0):
-        """Cross-process commit mutex (lockfile, O_EXCL) serializing
-        read-modify-write commit sequences — the wave loop and the
-        streaming intake both take it, so neither can clobber the
-        other's frontier_adds pointer.  Stale locks (holder died) are
-        broken after `timeout_s`."""
+        """Cross-process commit mutex (fcntl.flock on a persistent lock
+        file) serializing read-modify-write commit sequences — the wave
+        loop and the streaming intake both take it, so neither can
+        clobber the other's frontier_adds pointer.
+
+        flock is kernel-owned: a holder that dies (even SIGKILL mid-
+        commit) releases the lock when its fd closes, so there is no
+        stale-lock-break path — the hazard where two waiters unlink a
+        lockfile concurrently, or unlink one a third process just
+        acquired, cannot arise.  `timeout_s` only bounds how long a
+        LIVE holder may starve this waiter before we raise."""
         lock_path = os.path.join(self.root, "_catalog.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    try:  # holder likely died mid-commit: break the lock
-                        os.unlink(lock_path)
-                    except FileNotFoundError:
-                        pass
-                else:
-                    time.sleep(0.02)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"catalog lock held > {timeout_s}s by a live process"
+                        )
+                    time.sleep(0.02)
             yield
         finally:
-            try:
-                os.unlink(lock_path)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # closes → flock released atomically
 
     def commit(self, wave: int, table_versions: dict[str, int], **extra) -> None:
         st = self.state()
@@ -355,3 +375,62 @@ class Warehouse:
         """Read a table at the version named by the last catalog commit —
         snapshot isolation for the wave loop."""
         return self.table(name, schema).read(spark, self.catalog.version_of(name))
+
+    def expire(self, keep_last: int = 1) -> dict[str, dict[str, int]]:
+        """Iceberg ``expire_snapshots`` analog: per table, keep the
+        last ``keep_last`` manifests at-or-below the committed version
+        plus EVERY manifest above it (uncommitted staging in flight must
+        survive), delete the older manifests, then delete the data files
+        those dropped manifests reference that no kept manifest still
+        reaches.  Files referenced by NO manifest are never touched —
+        a concurrent ``_write_datafiles`` lands its parquet before its
+        manifest exists, and expiry must not eat it.
+
+        Runs under the catalog lock so the committed pointer and the
+        staged-version set cannot move mid-scan.  Returns, per table,
+        {"manifests_dropped": n, "files_deleted": n}."""
+        report: dict[str, dict[str, int]] = {}
+        with self.catalog.lock():
+            committed = self.catalog.state()["tables"]
+            for name in sorted(os.listdir(self.root)):
+                meta_dir = os.path.join(self.root, name, "_meta")
+                if not os.path.isdir(meta_dir):
+                    continue
+                versions = sorted(
+                    int(m[1:9])
+                    for m in os.listdir(meta_dir)
+                    if m.startswith("v") and m.endswith(".json")
+                )
+                cv = committed.get(name, 0)
+                at_or_below = [v for v in versions if v <= cv]
+                keep = set(at_or_below[-max(1, keep_last):]) | {
+                    v for v in versions if v > cv
+                }
+                drop = [v for v in versions if v not in keep]
+                if not drop:
+                    continue
+
+                def files_of(v: int) -> set[str]:
+                    with open(os.path.join(meta_dir, f"v{v:08d}.json")) as f:
+                        return set(json.load(f)["files"])
+
+                reachable: set[str] = set()
+                for v in keep:
+                    reachable |= files_of(v)
+                doomed: set[str] = set()
+                for v in drop:
+                    doomed |= files_of(v) - reachable
+                for f in doomed:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(f)
+                    d = os.path.dirname(f)
+                    with contextlib.suppress(OSError):  # rmdir only if empty
+                        os.rmdir(d)
+                for v in drop:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(os.path.join(meta_dir, f"v{v:08d}.json"))
+                report[name] = {
+                    "manifests_dropped": len(drop),
+                    "files_deleted": len(doomed),
+                }
+        return report

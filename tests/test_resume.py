@@ -64,6 +64,12 @@ def test_kill_and_resume_identical(spark, tmp_path):
         )
     )
 
+    # expire old snapshots before resuming: resume must only need the
+    # last committed catalog state (+ staged-above-commit versions), so
+    # a vacuumed warehouse resumes byte-identically
+    report = c1.wh.expire(keep_last=1)
+    assert any(r["manifests_dropped"] > 0 for r in report.values())
+
     cfg_r = make_test_config(seed_url_seen=True, max_waves=40)
     c2 = Crawl(spark, str(tmp_path / "kill"), cfg_r)
     c2.run()  # resumes from the catalog, no re-init

@@ -119,3 +119,137 @@ def test_catalog_lock_reentrant_exclusion(wh_root):
         order.append("b-in")
     th.join()
     assert order == ["a-in", "a-out", "b-in"]
+
+
+def test_concurrent_staging_never_clobbers_manifests(wh_root):
+    """VERDICT r2 #1: two stagers racing for version N+1 must never
+    silently overwrite each other's manifest.  Races _publish directly
+    (no Spark jobs → tight interleaving): 8 threads × 25 rounds all
+    start from the same observed latest; every returned version must be
+    unique and every manifest must round-trip its own content."""
+    import json
+    import os
+    import threading
+
+    from pyspark.sql import types as T
+
+    from crawler.warehouse import Table
+
+    t = Table(wh_root, "race", T.StructType([T.StructField("k", T.LongType())]))
+    results: list[tuple[str, int]] = []
+    barrier = threading.Barrier(8)
+    errors: list[BaseException] = []
+
+    def writer(tag: str):
+        try:
+            barrier.wait()
+            for i in range(25):
+                v = t._publish({"parent": 0, "files": [f"{tag}-{i}"], "rows": 1})
+                results.append((f"{tag}-{i}", v))
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(f"w{j}",)) for j in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    versions = [v for _, v in results]
+    assert len(set(versions)) == len(versions) == 200, "version slot collided"
+    # every manifest holds exactly the content its claimant submitted
+    for tag, v in results:
+        with open(os.path.join(wh_root, "race", "_meta", f"v{v:08d}.json")) as f:
+            m = json.load(f)
+        assert m["files"] == [tag] and m["version"] == v
+
+
+def test_two_appends_same_base_both_survive(spark, wh_root):
+    """Integration shape of the race: wave-style append (outside lock)
+    and intake-style append landing off the same base — both manifests
+    must exist with disjoint new files; rebase merges both row sets."""
+    import threading
+
+    wh = Warehouse(wh_root)
+    t = wh.table("t1", SCHEMA)
+    v1 = t.append(_df(spark, [(1, "base")]))
+    wh.catalog.commit(0, {"t1": v1})
+    out: dict[str, int] = {}
+    barrier = threading.Barrier(2)
+
+    def stage(name: str, row):
+        barrier.wait()
+        out[name] = t.append(_df(spark, [row]), base_version=v1)
+
+    a = threading.Thread(target=stage, args=("wave", (2, "wave")))
+    b = threading.Thread(target=stage, args=("intake", (3, "intake")))
+    a.start(); b.start(); a.join(); b.join()
+    assert out["wave"] != out["intake"]
+    merged = t.rebase_delta(out["wave"], v1, out["intake"])
+    ks = sorted(r["k"] for r in t.read(spark, merged).collect())
+    assert ks == [1, 2, 3], "a staged append lost rows to the race"
+
+
+def test_flock_released_by_dead_holder(wh_root):
+    """A SIGKILLed lock holder must not wedge the catalog: flock is
+    released by the kernel when the holder's fd closes — no stale-break
+    path, no timeout wait."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    wh = Warehouse(wh_root)  # creates the root dir before the child opens it
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys, time\n"
+                f"fd = os.open({os.path.join(wh_root, '_catalog.lock')!r},"
+                " os.O_CREAT | os.O_RDWR)\n"
+                "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+                "print('locked', flush=True)\n"
+                "time.sleep(60)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "locked"
+    child.kill()
+    child.wait()
+    t0 = _time.monotonic()
+    with wh.catalog.lock(timeout_s=5.0):
+        pass  # acquired despite the dead holder
+    assert _time.monotonic() - t0 < 2.0, "lock acquisition waited on a dead holder"
+
+
+def test_expire_drops_unreachable_snapshots(spark, wh_root):
+    """expire(keep_last=1): manifests+files below the committed version
+    vanish, the committed snapshot stays readable byte-for-byte, and
+    staged-above-commit versions (in-flight work) are never touched."""
+    import os
+
+    wh = Warehouse(wh_root)
+    t = wh.table("t1", SCHEMA)
+    versions = [t.overwrite(_df(spark, [(i, f"v{i}")])) for i in range(1, 5)]
+    wh.catalog.commit(0, {"t1": versions[-1]})
+    staged = t.append(_df(spark, [(99, "staged")]), base_version=versions[-1])
+
+    def n_data_files():
+        total = 0
+        for root, _, files in os.walk(os.path.join(wh_root, "t1", "_data")):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = n_data_files()
+    report = wh.expire(keep_last=1)
+    assert report["t1"]["manifests_dropped"] == 3
+    assert n_data_files() < before, "expiry deleted no data files"
+    # committed read intact; staged version intact
+    assert [r["k"] for r in wh.read_committed(spark, "t1", SCHEMA).collect()] == [4]
+    ks = sorted(r["k"] for r in t.read(spark, staged).collect())
+    assert ks == [4, 99]
+    # expired snapshots are gone
+    assert not os.path.exists(t._meta_path(versions[0]))
