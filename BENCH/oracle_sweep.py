@@ -3,8 +3,11 @@ side-by-side with its ``oracle_sql()`` twin on DuckDB, value-compared
 after sorting columns by name — the same comparison the grading driver
 records in CORRECTNESS_r{N}.json.
 
-Run:  python BENCH/oracle_sweep.py [sf_dir]        (default sf0.01)
+Run:  python BENCH/oracle_sweep.py [sf_dir] [--only q1,q2]   (default sf0.01)
 Exit code 0 iff every query is schema- and value-equal.
+
+Float columns compare with np.isclose (last-ulp Spark/DuckDB drift is
+not a defect); everything else compares by exact string equality.
 """
 
 from __future__ import annotations
@@ -21,8 +24,34 @@ TABLES = (
 ).split()
 
 
+def _col_equal(a, b) -> bool:
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+        return bool(
+            np.isclose(
+                a.to_numpy(), b.to_numpy(), rtol=1e-9, atol=1e-9, equal_nan=True
+            ).all()
+        )
+    return bool((a.astype(str).values == b.astype(str).values).all())
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv, positional, only = sys.argv[1:], [], None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--only"):
+            if "=" in a:
+                only = set(a.split("=", 1)[1].split(","))
+            else:
+                i += 1
+                only = set(argv[i].split(","))
+        else:
+            positional.append(a)
+        i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
 
     import duckdb
 
@@ -39,6 +68,8 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     fails = []
     for name in qs:
+        if only is not None and name not in only:
+            continue
         try:
             sd = qs[name](spark, sf_dir).toPandas()
             if name not in osql:
@@ -51,17 +82,14 @@ def main() -> int:
             if ok:
                 a = sd[cols].sort_values(cols).reset_index(drop=True)
                 b = od[cols].sort_values(cols).reset_index(drop=True)
-                ok = all(
-                    (a[c].astype(str).values == b[c].astype(str).values).all()
-                    for c in cols
-                )
+                ok = all(_col_equal(a[c], b[c]) for c in cols)
             print(f"{name}: rows {len(sd)}/{len(od)} schema={ok_schema} equal={ok}")
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 — report and keep sweeping
             print(f"{name}: ERROR {ex}")
             fails.append(name)
-    total = len([n for n in qs if n in osql])
+    total = len([n for n in qs if n in osql and (only is None or n in only)])
     print(f"FAILS: {fails if fails else f'none — {total}/{total}'}")
     spark.stop()
     return 1 if fails else 0

@@ -178,26 +178,45 @@ def word_hash_exprs(text_col) -> tuple[F.Column, F.Column]:
     return his, los
 
 
-@pandas_udf(T.LongType())
-def _bit_vote_udf(his: pd.Series, los: pd.Series) -> pd.Series:
-    """SimHash bit-vote over pre-hashed tokens — one numpy pass over the
-    whole Arrow batch: flatten all rows' hash arrays, vote with
-    np.add.at, repack.  No Python hashing, no per-row loop."""
+#: tokens per bit-unpack slice: peak transient = CHUNK × 64 bytes
+#: (uint8 bit matrix) ≈ 64 MB — bounded regardless of how many tokens
+#: an Arrow batch carries, so long-document batches cannot OOM a task
+_BIT_VOTE_CHUNK_TOKENS = 1 << 20
+
+
+def _bit_vote(his: pd.Series, los: pd.Series) -> pd.Series:
+    """SimHash bit-vote over pre-hashed tokens — numpy over the Arrow
+    batch, no Python hashing, no per-row loop.
+
+    Memory-bounded: token hashes unpack to a bit matrix in slices of
+    ``_BIT_VOTE_CHUNK_TOKENS`` via np.unpackbits on a uint8 view (64
+    bytes/token per live slice, vs 512 bytes/token for the whole batch
+    if done as a single int64 broadcast).  The vote accumulates ONES
+    counts per (row, bit); bit b of the output is set iff ones > half
+    the row's tokens — identical to the ±1-vote > 0 rule
+    (2·ones − total > 0 ⟺ ones·2 > total)."""
     lengths = his.map(len).to_numpy(dtype=np.int64)
     n_rows = len(lengths)
-    out = np.zeros(n_rows, dtype=np.uint64)
-    if lengths.sum() == 0:
-        return pd.Series(out.astype(np.int64))
+    if n_rows == 0 or lengths.sum() == 0:
+        return pd.Series(np.zeros(n_rows, dtype=np.int64))
     row_ids = np.repeat(np.arange(n_rows), lengths)
     flat_hi = np.concatenate([np.asarray(a, dtype=np.int64) for a in his]).astype(np.uint64)
     flat_lo = np.concatenate([np.asarray(a, dtype=np.int64) for a in los]).astype(np.uint64)
-    flat = (flat_hi << np.uint64(32)) | flat_lo
-    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    votes = np.zeros((n_rows, 64), dtype=np.int64)
-    np.add.at(votes, row_ids, 2 * bits - 1)
-    packed = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    flat = ((flat_hi << np.uint64(32)) | flat_lo).astype("<u8")  # pin LE byte view
+    ones = np.zeros((n_rows, 64), dtype=np.int64)
+    for s in range(0, len(flat), _BIT_VOTE_CHUNK_TOKENS):
+        sl = slice(s, s + _BIT_VOTE_CHUNK_TOKENS)
+        bits = np.unpackbits(
+            flat[sl].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # column j == word bit j (little-endian bytes × little bitorder)
+        np.add.at(ones, row_ids[sl], bits)
+    packed = ((2 * ones > lengths[:, None]).astype(np.uint64)
+              << np.arange(64, dtype=np.uint64))
     out = np.bitwise_or.reduce(packed, axis=1)
     return pd.Series(out.astype(np.int64))
+
+
+_bit_vote_udf = pandas_udf(T.LongType())(_bit_vote)
 
 
 def simhash64_expr(text_col) -> F.Column:
@@ -649,8 +668,6 @@ def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
     """
 
     def gen(batches):
-        import hashlib
-
         for pdf in batches:
             refs = pdf["media_ref"].fillna("")
             if decode:
@@ -658,10 +675,17 @@ def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
                     "real media decode requires image/audio libs; "
                     "plug a decoder into this mapInPandas stage"
                 )
-            feats = []
-            for rf in refs:
-                d = hashlib.md5(rf.encode()).digest()
-                feats.append([b / 255.0 for b in d[:4]])
+            # md5 was computed JVM-side (F.md5); here the hex prefix
+            # vectorizes to bytes in one C-level pass — no per-ref
+            # Python loop: join the 8-char prefixes, fromhex the lot,
+            # frombuffer/reshape to (n, 4)
+            if len(pdf):
+                raw = np.frombuffer(
+                    bytes.fromhex("".join(pdf["ref_md5"].str[:8])), dtype=np.uint8
+                ).reshape(-1, 4)
+                feats = (raw / 255.0).tolist()
+            else:
+                feats = []
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -671,6 +695,9 @@ def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
                 }
             )
 
-    return media_refs.select("media_ref").distinct().mapInPandas(
-        gen, schema=MEDIA_FEATURE_SCHEMA
+    return (
+        media_refs.select("media_ref")
+        .distinct()
+        .withColumn("ref_md5", F.md5(F.coalesce(F.col("media_ref"), F.lit(""))))
+        .mapInPandas(gen, schema=MEDIA_FEATURE_SCHEMA)
     )
