@@ -150,35 +150,91 @@ def content_encoding_expr(headers_col) -> F.Column:
     return F.try_element_at(matches, F.lit(1))["value"]
 
 
-@pandas_udf(T.BinaryType())
-def _decode_entity_udf(entity: pd.Series, encoding: pd.Series) -> pd.Series:
+#: decompressed-size cap per entity: an untrusted server's gzip/deflate
+#: bomb (tiny payload → GBs of output) must not exhaust executor memory.
+#: 64 MB is far above any sane HTML body; rows exceeding it keep their
+#: COMPRESSED bytes and are flagged decode_status='truncated'.
+DECODE_MAX_BYTES = 64 * 1024 * 1024
+
+#: chunk size for the bounded decompressobj loop
+_INFLATE_CHUNK = 1 << 20
+
+_DECODE_RESULT = T.StructType(
+    [
+        T.StructField("entity", T.BinaryType()),
+        # identity | decoded | error | unsupported | truncated
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _inflate_capped(data: bytes, wbits: int, max_out: int):
+    """Streamed zlib inflate with a hard output cap.  Returns the
+    decoded bytes or None when the stream expands past `max_out`
+    (bomb defense: never materializes more than max_out + one chunk).
+    Raises zlib.error on corrupt input like plain decompress."""
+    import zlib
+
+    d = zlib.decompressobj(wbits)
+    out = bytearray()
+    buf = data
+    while buf:
+        chunk = d.decompress(buf, _INFLATE_CHUNK)
+        out += chunk
+        if len(out) > max_out:
+            return None
+        nxt = d.unconsumed_tail
+        if not chunk and nxt == buf:  # no progress: corrupt-but-silent stream
+            break
+        buf = nxt
+    out += d.flush()
+    if len(out) > max_out:
+        return None
+    return bytes(out)
+
+
+def _decode_one(data: bytes, name: str, max_out: int) -> tuple[bytes, str]:
+    import zlib
+
+    if name in ("", "identity"):
+        return data, "identity"
+    try:
+        if name in ("gzip", "x-gzip"):
+            # wbits=47: auto-detect gzip or zlib wrapper
+            decoded = _inflate_capped(data, 47, max_out)
+        elif name == "deflate":
+            try:
+                decoded = _inflate_capped(data, 15, max_out)  # RFC1950 zlib
+            except zlib.error:
+                decoded = _inflate_capped(data, -15, max_out)  # raw deflate
+        else:
+            # br / zstd / multi codings ('gzip, br') — not decodable here
+            return data, "unsupported"
+    except zlib.error:
+        return data, "error"  # undecodable payload passes through, flagged
+    if decoded is None:
+        return data, "truncated"  # bomb: cap exceeded, keep compressed bytes
+    return decoded, "decoded"
+
+
+@pandas_udf(_DECODE_RESULT)
+def _decode_entity_udf(entity: pd.Series, encoding: pd.Series) -> pd.DataFrame:
     """gzip/deflate entity decoding over one Arrow batch.  Decompression
     of opaque variable-length streams has no columnar/numpy form — the
     zlib call is inherently per-element, but the data crosses the JVM
     boundary once per Arrow batch, not per row."""
-    import zlib
-
-    out = []
+    ents, stats = [], []
     for e, enc in zip(entity, encoding):
         if e is None:
-            out.append(None)
+            ents.append(None)
+            stats.append("identity")
             continue
-        data = bytes(e)
-        name = (enc or "identity").strip().lower()
-        try:
-            if name in ("gzip", "x-gzip"):
-                # wbits=47: auto-detect gzip or zlib wrapper
-                out.append(zlib.decompress(data, 47))
-            elif name == "deflate":
-                try:
-                    out.append(zlib.decompress(data, 15))  # RFC1950 zlib
-                except zlib.error:
-                    out.append(zlib.decompress(data, -15))  # raw deflate
-            else:
-                out.append(data)  # identity / unknown codings pass through
-        except zlib.error:
-            out.append(data)  # undecodable payload passes through unchanged
-    return pd.Series(out)
+        data, st = _decode_one(
+            bytes(e), (enc or "identity").strip().lower(), DECODE_MAX_BYTES
+        )
+        ents.append(data)
+        stats.append(st)
+    return pd.DataFrame({"entity": ents, "status": stats})
 
 
 def decode_entity(
@@ -187,14 +243,35 @@ def decode_entity(
     """P9: the reference's response-decoding chain NoEncoding → Gzip →
     Deflate (CrawlServiceLike.scala:128) as an Arrow-vectorized stage.
 
-    Replaces `entity_col` in place with the decoded bytes, selecting the
-    codec from the row's Content-Encoding header (case-insensitive, like
-    contentType).  This is the stage a real mapInPandas HTTP fetcher
-    plugs in front of span parsing; the fetch simulator itself emits
-    spans directly, so the wave loop never pays this cost."""
-    return df.withColumn(
-        entity_col,
-        _decode_entity_udf(F.col(entity_col), content_encoding_expr(headers_col)),
+    Replaces `entity_col` in place with the decoded bytes, adds a
+    `decode_status` column (identity | decoded | error | unsupported |
+    truncated), and — on success — REMOVES the Content-Encoding header
+    so downstream consumers (the ES export ships response_headers)
+    never mistake decoded bytes for still-compressed ones.  Corrupt,
+    unsupported, and over-cap (bomb) payloads pass through with their
+    original bytes and a non-'decoded' status; the reference instead
+    fails the whole response on decode error (CrawlServiceLike.scala:
+    128) — callers wanting that semantic filter decode_status.
+
+    This is the stage a real mapInPandas HTTP fetcher plugs in front of
+    span parsing; the fetch simulator itself emits spans directly, so
+    the wave loop never pays this cost."""
+    res = _decode_entity_udf(F.col(entity_col), content_encoding_expr(headers_col))
+    df = df.withColumn("_dec", res)
+    stripped = F.filter(
+        F.col(headers_col),
+        lambda h: F.lower(h["name"]) != "content-encoding",
+    )
+    return (
+        df.withColumn(entity_col, F.col("_dec.entity"))
+        .withColumn("decode_status", F.col("_dec.status"))
+        .withColumn(
+            headers_col,
+            F.when(F.col("_dec.status") == "decoded", stripped).otherwise(
+                F.col(headers_col)
+            ),
+        )
+        .drop("_dec")
     )
 
 
