@@ -10,15 +10,24 @@ section suffixes (github.io, blogspot.com, herokuapp.com, ...) — in the
 exact rule shape the full list uses, so swapping in a complete
 publicsuffix.org dump is a data-only change (extend these frozensets).
 
-Rule semantics implemented by crawler.urlnorm.tpd_expr / _tpd_one:
-  - a host whose last label is not in TLDS is not under any public
-    suffix → 'notpd' (Guava isUnderPublicSuffix() == false)
-  - if the last two labels form a suffix in SUFFIX2, the TPD is the
-    last THREE labels (needs ≥3 labels, else notpd)
-  - otherwise the TPD is the last two labels
+FULL PSL rule semantics (publicsuffix.org/list/), implemented by
+crawler.urlnorm.tpd_expr / _tpd_one over the structures below:
+  - exact rules at any depth ('com', 'co.uk', 'k12.ma.us',
+    'pvt.k12.ma.us', 's3.dualstack.us-east-1.amazonaws.com')
+  - wildcard rules '*.<base>' ('*.ck', '*.kawasaki.jp'): every direct
+    child of <base> is a public suffix
+  - exception rules '!<host>' ('!www.ck', '!city.kawasaki.jp'): the
+    named host is NOT a public suffix — it is itself the registered
+    domain (PSL: "prevailing exception rule, leftmost label removed")
+  - among matching rules the LONGEST (deepest) wins; registered domain
+    (eTLD+1, Guava topPrivateDomain) = prevailing suffix + one label
+  - a host whose last label is not a known TLD is not under any public
+    suffix → 'notpd' (Guava isUnderPublicSuffix() == false); a host
+    that IS a public suffix (e.g. 'bar.ck' under '*.ck') → 'notpd'
 
-Scale shape: membership tests compile to Catalyst InSet (hash lookup)
-via Column.isin — O(1) per row regardless of list size, JVM-side.
+Scale shape: per-depth membership tests compile to Catalyst InSet
+(hash lookup) via Column.isin — O(1) per row regardless of list size,
+JVM-side; depth count (≤5) bounds the CASE branches, not the data.
 """
 
 from __future__ import annotations
@@ -94,6 +103,12 @@ _SECOND_LEVELS: dict[str, str] = {
     "uy": "com net org edu gub mil",
     "tr": "com net org edu gov mil av bbs bel biz dr gen info k12 kep name nc pol tel tv web",
     "il": "co net org ac gov idf k12 muni",
+    # US: each state code is itself a registrable public suffix (ma.us)
+    "us": (
+        "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
+        "mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx "
+        "ut va vt wa wi wv wy fed isa nsn kids"
+    ),
     "sa": "com net org edu gov med pub sch",
     "ae": "co net org ac gov mil sch",
     "eg": "com net org edu gov eun mil name sci",
@@ -117,9 +132,7 @@ _SECOND_LEVELS: dict[str, str] = {
     "at": "co or ac gv priv",
     "ch": "com net org gov",
     "pk": "com net org edu gov biz fam gob gok gon gop gos info web",
-    "bd": "com net org edu gov ac info mil",
     "lk": "com net org edu gov ac assn grp hotel int ltd ngo sch soc web",
-    "np": "com net org edu gov aero asia biz coop info mil mobi museum name pro",
     "kz": "com net org edu gov mil",
     "by": "com gov mil of",
     "ge": "com net org edu gov mil pvt",
@@ -141,7 +154,6 @@ _SECOND_LEVELS: dict[str, str] = {
     "sv": "com org edu gob red",
     "cr": "co cr ac ed fi go or sa",
     "cu": "com net org edu gov inf",
-    "jm": "com net org edu gov mil",
     "tt": "com net org edu gov biz info pro name",
     "mt": "com net org edu gov",
     "cy": "com net org ac biz ekloges gov ltd press pro tm",
@@ -156,8 +168,6 @@ _SECOND_LEVELS: dict[str, str] = {
     "ee": "com org edu gov riik lib med fie aip pri",
     "is": "com net org edu gov int",
     "mo": "com net org edu gov",
-    "kh": "com net org edu gov mil per",
-    "mm": "com net org edu gov",
     "mn": "com net org edu gov",
     "mv": "com net org edu gov aero biz coop info int mil museum name pro",
     "mu": "com net org ac co go or",
@@ -181,4 +191,104 @@ SUFFIX2 = (
         f"{sl}.{cc}" for cc, sls in _SECOND_LEVELS.items() for sl in sls.split()
     )
     | _PRIVATE_SUFFIX2
+)
+
+#: rules beyond the exact-depth-1/2 sets above, in the PSL's own line
+#: format ('//' comments, '*.' wildcards, '!' exceptions) — swapping in
+#: the complete publicsuffix.org dump means pasting it here verbatim.
+_RULES_EXTRA = """
+// ccTLDs the PSL models as wildcards: any direct child is a suffix
+*.bd
+*.ck
+!www.ck
+*.er
+*.fj
+*.fk
+*.jm
+*.kh
+*.mm
+*.np
+*.pg
+// Japanese city wildcards + their city.* exceptions
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+// US school-district deep suffixes (k12/cc/lib per state + MA extras)
+pvt.k12.ma.us
+chtr.k12.ma.us
+paroch.k12.ma.us
+// AWS private-section deep suffixes (snapshot)
+s3.amazonaws.com
+s3.dualstack.us-east-1.amazonaws.com
+s3.dualstack.eu-west-1.amazonaws.com
+s3.us-east-1.amazonaws.com
+s3.us-east-2.amazonaws.com
+s3.us-west-1.amazonaws.com
+s3.us-west-2.amazonaws.com
+s3.eu-west-1.amazonaws.com
+s3.eu-central-1.amazonaws.com
+s3.ap-southeast-1.amazonaws.com
+s3.ap-northeast-1.amazonaws.com
+*.elb.amazonaws.com
+*.compute.amazonaws.com
+*.compute-1.amazonaws.com
+"""
+
+#: per-state 3-label US suffixes: k12.ma.us, cc.ma.us, lib.ma.us ...
+_US_STATES = (
+    "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
+    "mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx "
+    "ut va vt wa wi wv wy"
+).split()
+_US_K12 = [f"{kind}.{st}.us" for st in _US_STATES for kind in ("k12", "cc", "lib")]
+
+
+def _parse_rules(text: str):
+    exact: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("//"):
+            continue
+        if ln.startswith("!"):
+            s = ln[1:]
+            exc.setdefault(s.count(".") + 1, set()).add(s)
+        elif ln.startswith("*."):
+            base = ln[2:]
+            wild.setdefault(base.count(".") + 1, set()).add(base)
+        else:
+            exact.setdefault(ln.count(".") + 1, set()).add(ln)
+    return exact, wild, exc
+
+
+_exact, _wild, _exc = _parse_rules(_RULES_EXTRA)
+for _s in _US_K12:
+    _exact.setdefault(3, set()).add(_s)
+_exact.setdefault(1, set()).update(TLDS)
+_exact.setdefault(2, set()).update(SUFFIX2)
+
+#: depth → exact public-suffix rules of exactly that many labels
+RULES: dict[int, frozenset[str]] = {k: frozenset(v) for k, v in _exact.items()}
+#: base-depth → wildcard bases ('ck' means '*.ck': children are suffixes)
+WILDBASES: dict[int, frozenset[str]] = {k: frozenset(v) for k, v in _wild.items()}
+#: depth → exception hosts (each IS the registered domain)
+EXCEPTIONS: dict[int, frozenset[str]] = {k: frozenset(v) for k, v in _exc.items()}
+
+#: deepest possible public-suffix depth (wildcards match one deeper
+#: than their base)
+MAX_SUFFIX_DEPTH = max(
+    max(RULES, default=1),
+    max((k + 1 for k in WILDBASES), default=1),
 )

@@ -27,6 +27,7 @@ import re
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
+from . import psl
 from .psl import SUFFIX2, TLDS  # noqa: F401  (re-exported; tests import from here)
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
@@ -66,29 +67,59 @@ def base_uri_expr(url: str | Column) -> Column:
 
 
 def tpd_expr(host: str | Column) -> Column:
-    """eTLD+1 with 'notpd' fallback, as a pure JVM expression (no UDF).
+    """eTLD+1 with 'notpd' fallback, as a pure JVM expression (no UDF),
+    under FULL PSL rule semantics (exact + wildcard + exception rules
+    at any depth, longest match wins — see crawler/psl.py docstring).
 
-    labels = split(host,'.'); notpd when: <2 labels, IPv4, or TLD not in
-    TLDS; else last-3 labels when last-2 ∈ SUFFIX2 (and ≥3 labels), else
-    last-2.
+    Shape: one CASE with ≤ (exception depths + suffix depths) branches;
+    each branch is an InSet membership test over the last-k labels —
+    Catalyst compiles isin over big literal sets to a hash lookup, so
+    cost per row is O(depths), independent of PSL size.  Matches
+    Guava's InternetDomainName.topPrivateDomain() on registrable
+    hosts and maps its IllegalStateException cases to 'notpd'
+    (Requests.scala:50-53).
     """
     h = F.lower(_c(host))
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    last1 = F.element_at(labels, -1)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), last1)
-    last3 = F.when(
-        n >= 3, F.concat_ws(".", F.element_at(labels, -3), last2)
-    ).otherwise(F.lit(NOTPD))
-    # isin over the big literal sets compiles to Catalyst InSet (hash
-    # lookup) — O(1) per row however large the vendored PSL grows
-    return (
+
+    def lastk(k: int) -> Column:
+        # concat_ws skips nulls, so for n < k this yields fewer labels —
+        # it can never string-equal a real k-label rule; the n >= k
+        # guards below make that explicit anyway
+        return F.concat_ws(".", *[F.element_at(labels, -i) for i in range(k, 0, -1)])
+
+    expr = (
         F.when(n < 2, F.lit(NOTPD))
         .when(h.rlike(_IPV4_RE), F.lit(NOTPD))
-        .when(~last1.isin(*sorted(TLDS)), F.lit(NOTPD))
-        .when(last2.isin(*sorted(SUFFIX2)), last3)
-        .otherwise(last2)
+        .when(~F.element_at(labels, -1).isin(*sorted(psl.RULES[1])), F.lit(NOTPD))
     )
+    # exception rules first (they beat any wildcard they carve out):
+    # the exception host itself is the registered domain
+    for k in sorted(psl.EXCEPTIONS, reverse=True):
+        expr = expr.when(
+            (n >= k) & lastk(k).isin(*sorted(psl.EXCEPTIONS[k])), lastk(k)
+        )
+    # longest public suffix wins: walk depths deepest-first; a match at
+    # depth k makes the registered domain the last k+1 labels (or notpd
+    # when the host IS the suffix)
+    for k in range(psl.MAX_SUFFIX_DEPTH, 1, -1):
+        conds = []
+        if k in psl.RULES:
+            conds.append(lastk(k).isin(*sorted(psl.RULES[k])))
+        if (k - 1) in psl.WILDBASES:
+            conds.append(lastk(k - 1).isin(*sorted(psl.WILDBASES[k - 1])))
+        if not conds:
+            continue
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        expr = expr.when(
+            (n >= k) & cond,
+            F.when(n >= k + 1, lastk(k + 1)).otherwise(F.lit(NOTPD)),
+        )
+    # depth-1 default: known TLD, no deeper rule → last two labels
+    return expr.otherwise(lastk(2))
 
 
 def provenance_expr(
@@ -122,18 +153,29 @@ def pd_base_uri(urls: pd.Series) -> pd.Series:
 
 
 def _tpd_one(host: str) -> str:
+    """Scalar twin of tpd_expr — identical full-PSL semantics."""
     if not host:
         return NOTPD
     host = host.lower()
     if re.match(_IPV4_RE, host):
         return NOTPD
     labels = host.split(".")
-    if len(labels) < 2 or labels[-1] not in TLDS:
+    n = len(labels)
+    if n < 2 or labels[-1] not in psl.RULES[1]:
         return NOTPD
-    last2 = ".".join(labels[-2:])
-    if last2 in SUFFIX2:
-        return ".".join(labels[-3:]) if len(labels) >= 3 else NOTPD
-    return last2
+    for k in sorted(psl.EXCEPTIONS, reverse=True):
+        if n >= k and ".".join(labels[-k:]) in psl.EXCEPTIONS[k]:
+            return ".".join(labels[-k:])
+    suffix_len = 1
+    for k in range(2, psl.MAX_SUFFIX_DEPTH + 1):
+        if n >= k and (
+            ".".join(labels[-k:]) in psl.RULES.get(k, ())
+            or ".".join(labels[-(k - 1):]) in psl.WILDBASES.get(k - 1, ())
+        ):
+            suffix_len = k
+    if n < suffix_len + 1:
+        return NOTPD  # the host IS a public suffix
+    return ".".join(labels[-(suffix_len + 1):])
 
 
 def pd_tpd(hosts: pd.Series) -> pd.Series:

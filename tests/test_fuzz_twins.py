@@ -18,6 +18,12 @@ _HOSTS = [
     "127.0.0.1", "foo.github.io", "a.b.com.tw", "weird", "x.internal",
     "UPPER.Example.COM", "h-1.h-2.example.dev", "port.example.com:8080",
     "user@auth.example.com", "trailing.dot.com.",
+    # PSL rule-engine shapes: wildcard, exception, deep exact rules
+    "www.ck", "foo.www.ck", "bar.ck", "foo.bar.ck",
+    "city.kawasaki.jp", "a.city.kawasaki.jp", "x.foo.kawasaki.jp",
+    "x.pvt.k12.ma.us", "a.school.k12.ma.us", "town.ma.us",
+    "bucket.s3.amazonaws.com", "b.s3.dualstack.us-east-1.amazonaws.com",
+    "x.y.elb.amazonaws.com",
 ]
 _PATHS = [
     "", "/", "/a", "/a/b/c", "/a b/c", "/%20done", "/p?q=1&r=2", "/p#frag",

@@ -111,3 +111,43 @@ def test_tpd_psl_snapshot(spark):
     assert [urlnorm._tpd_one(i) for i in ins] == outs
     assert _spark_eval(spark, urlnorm.tpd_expr, ins) == outs
     assert list(urlnorm.pd_tpd(pd.Series(ins))) == outs
+
+
+def test_tpd_psl_rule_engine(spark):
+    """Full PSL semantics (VERDICT r2 #4): wildcard rules (*.ck,
+    *.kawasaki.jp), exception rules (!www.ck, !city.kawasaki.jp), and
+    3+-label suffixes (k12.ma.us, pvt.k12.ma.us, s3.dualstack...),
+    longest-match-wins — Guava InternetDomainName.topPrivateDomain()
+    parity (Requests.scala:50-53), IllegalState cases → 'notpd'."""
+    cases = [
+        # exception rules: the exception host IS the registered domain
+        ("www.ck", "www.ck"),
+        ("foo.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        # wildcard rules: children of the base are public suffixes
+        ("bar.ck", "notpd"),
+        ("foo.bar.ck", "foo.bar.ck"),
+        ("foo.kawasaki.jp", "notpd"),
+        ("x.foo.kawasaki.jp", "x.foo.kawasaki.jp"),
+        ("x.bd", "notpd"),
+        ("site.x.bd", "site.x.bd"),
+        # deep exact rules, longest match wins
+        ("x.pvt.k12.ma.us", "x.pvt.k12.ma.us"),
+        ("pvt.k12.ma.us", "notpd"),
+        ("school.k12.ma.us", "school.k12.ma.us"),
+        ("a.school.k12.ma.us", "school.k12.ma.us"),
+        ("town.ma.us", "town.ma.us"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("b.s3.dualstack.us-east-1.amazonaws.com",
+         "b.s3.dualstack.us-east-1.amazonaws.com"),
+        ("x.y.elb.amazonaws.com", "x.y.elb.amazonaws.com"),
+        ("y.elb.amazonaws.com", "notpd"),
+        ("thing.amazonaws.com", "thing.amazonaws.com"),
+        ("ck", "notpd"),
+    ]
+    ins = [i for i, _ in cases]
+    outs = [o for _, o in cases]
+    assert [urlnorm._tpd_one(i) for i in ins] == outs
+    assert _spark_eval(spark, urlnorm.tpd_expr, ins) == outs
+    assert list(urlnorm.pd_tpd(pd.Series(ins))) == outs
