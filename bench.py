@@ -28,6 +28,39 @@ def _now() -> float:
     return time.perf_counter()
 
 
+def _cpu_sample() -> tuple[int, int, int] | None:
+    """(busy, steal, total) jiffies from the aggregate /proc/stat line.
+
+    Used to annotate each timed rep with how much hypervisor steal and
+    how much real CPU the host delivered during the window — round-2's
+    driver-vs-ledger throughput discrepancy (71.7k vs 306k URLs/s for
+    identical code+config) was unadjudicable because the artifact
+    carried no evidence of host health.  Now every rep is self-evidently
+    clean or stolen."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+    except (OSError, ValueError, IndexError):
+        return None
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 10)[:8]
+    busy = user + nice + system + irq + softirq
+    total = busy + idle + iowait + steal
+    return busy, steal, total
+
+
+def _cpu_delta(before, after) -> dict | None:
+    if before is None or after is None:
+        return None
+    busy = after[0] - before[0]
+    steal = after[1] - before[1]
+    total = max(1, after[2] - before[2])
+    return {
+        "busy_pct": round(100.0 * busy / total, 1),
+        "steal_pct": round(100.0 * steal / total, 1),
+    }
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -85,7 +118,8 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
     url_seen = spark.createDataFrame([], schemas.URL_SEEN)
     bloom_df = dedup.empty_bloom_df(spark, cfg)
 
-    def one_wave(src) -> tuple[int, float]:
+    def one_wave(src) -> tuple[int, float, dict | None]:
+        c0 = _cpu_sample()
         t0 = _now()
         scheduled, _blocked = politeness.schedule_wave(src, host_state, robots, cfg, 0)
         cand = scheduled.select(
@@ -98,19 +132,27 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
         new = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
         n_new = new.count()
         sec = _now() - t0
+        cpu = _cpu_delta(c0, _cpu_sample())
         new.unpersist()
-        return int(n_new), sec
+        return int(n_new), sec, cpu
 
     if reps > 1:
         one_wave(pend.limit(min(50_000, n_urls)))  # warm-up, untimed
     runs = [one_wave(pend) for _ in range(max(1, reps))]
-    n_new, sec = min(runs, key=lambda r: r[1])
     pend.unpersist()
+    n_new, sec, _ = min(runs, key=lambda r: r[1])
     return {
         "urls": n_new,
         "sec": round(sec, 3),
         "urls_per_sec": round(n_new / sec, 1),
         "reps": max(1, reps),
+        # full per-rep evidence: a stolen rep shows high steal_pct /
+        # low busy_pct next to its inflated wall time, so the best-of
+        # headline is auditable instead of taken on faith
+        "rep_evidence": [
+            {"sec": round(s, 3), "urls_per_sec": round(n / s, 1), "cpu": cpu}
+            for n, s, cpu in runs
+        ],
     }
 
 
@@ -122,11 +164,15 @@ def main() -> None:
 
     from crawler.session import get_spark
 
+    reps = int(os.environ.get("BENCH_FRONTIER_REPS", 5))
+
     spark = get_spark("crawler-bench", master=f"local[{cpus}]")
+    c_all = _cpu_sample()
     t_all = _now()
     timings = run_queries(spark, sf_dir)
-    frontier = run_frontier_wave(spark, frontier_n, reps=3)
+    frontier = run_frontier_wave(spark, frontier_n, reps=reps)
     total = round(_now() - t_all, 3)
+    cpu_all = _cpu_delta(c_all, _cpu_sample())
 
     print(
         json.dumps(
@@ -138,6 +184,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier": frontier,
                 "cpus": cpus,
+                "cpu": cpu_all,
             }
         )
     )

@@ -47,6 +47,22 @@ _ESCAPE_SAFE = "-._~:/?#[]@!$&'()*+,;=%"
 
 _ABS_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
 
+#: regions a DOM parse never yields a[href] elements from — comments and
+#: raw-text elements (script/style/textarea content is character data to
+#: the HTML tokenizer).  Jsoup's a[href] selector (RequestExtractor
+#: .scala:49-57) therefore never sees anchors inside them; the regex
+#: extractor must strip them first or it over-extracts.  Single-pass
+#: alternation mirrors tokenizer behavior: whichever construct opens
+#: first swallows the region (a <script> inside a comment is not an
+#: element; a <!-- inside script does not open a comment).  Unterminated
+#: blocks run to end-of-input, as in the HTML spec's EOF handling.
+_STRIP_RE = r"(?is)<!--.*?(?:-->|$)|<(script|style|textarea)\b[^>]*>.*?(?:</\1\s*>|$)"
+
+
+def _strip_dead_regions(text: pd.Series) -> pd.Series:
+    """Vectorized removal of comment / raw-text regions (C regex pass)."""
+    return text.str.replace(_STRIP_RE, "", regex=True)
+
 
 def escape_url(u: str) -> str:
     """UrlEscapers fallback semantics (RequestExtractor.scala:38-45):
@@ -97,14 +113,14 @@ def _pick_unescape(groups: tuple[str, ...]) -> str:
 def find_hrefs_udf(text: pd.Series) -> pd.Series:
     """All href values of a text span, in document order (C-level regex
     over the whole batch; the per-match pick/unescape is list-building)."""
-    matches = text.fillna("").str.findall(_HREF_RE)
+    matches = _strip_dead_regions(text.fillna("")).str.findall(_HREF_RE)
     return matches.map(lambda ms: [_pick_unescape(m) for m in ms])
 
 
 @pandas_udf(T.StringType())
 def find_base_href_udf(text: pd.Series) -> pd.Series:
     """First <base href> of the document text ('' when absent)."""
-    g = text.fillna("").str.extract(_BASE_RE, expand=True)
+    g = _strip_dead_regions(text.fillna("")).str.extract(_BASE_RE, expand=True)
     merged = g[0].where(g[0].notna(), g[1])
     merged = merged.where(merged.notna(), g[2])
     merged = merged.where(merged.notna(), "")
@@ -234,6 +250,7 @@ def extract_media_refs(fetched: DataFrame) -> DataFrame:
 
 _HREF_SCALAR_RE = re.compile(_HREF_RE)
 _BASE_SCALAR_RE = re.compile(_BASE_RE)
+_STRIP_SCALAR_RE = re.compile(_STRIP_RE)
 
 
 def _scalar_pick(m: re.Match) -> str:
@@ -253,7 +270,7 @@ def py_extract_links(
     base = re.sub(r"[?#].*$", "", url)
     doc_text = "".join(s["text"] or "" for s in spans or [] if s["kind"] == "text")
     if "<base" in doc_text.lower():
-        bm = _BASE_SCALAR_RE.search(doc_text)
+        bm = _BASE_SCALAR_RE.search(_STRIP_SCALAR_RE.sub("", doc_text))
         if bm:
             resolved = resolve_link(base, _scalar_pick(bm))
             base = resolved or base
@@ -261,7 +278,8 @@ def py_extract_links(
     for span in spans or []:
         if span["kind"] != "text":
             continue
-        for i, m in enumerate(_HREF_SCALAR_RE.finditer(span["text"] or "")):
+        stripped = _STRIP_SCALAR_RE.sub("", span["text"] or "")
+        for i, m in enumerate(_HREF_SCALAR_RE.finditer(stripped)):
             href = _scalar_pick(m)
             dest = resolve_link(base, href)
             if not dest:

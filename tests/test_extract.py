@@ -230,6 +230,52 @@ def test_location_links_order_first(spark):
     ]
 
 
+def test_href_in_comment_or_script_not_extracted(spark):
+    """A DOM parse never yields a[href] from comments or raw-text
+    elements (script/style/textarea content is character data) —
+    Jsoup's a[href] selector (RequestExtractor.scala:49-57) would not
+    see these; the regex extractor must not either."""
+    body = (
+        "<!-- <a href='/in-comment'>x</a> -->"
+        "<script>var s = \"<a href='/in-script'>x</a>\";</script>"
+        "<style>.x { background: url(a) } /* <a href='/in-style'>x</a> */</style>"
+        "<textarea><a href='/in-textarea'>x</a></textarea>"
+        "<a href='/real'>kept</a>"
+        "<!-- unterminated comment swallows the rest <a href='/after-eof'>"
+    )
+    f = _fetched(spark, [("http://somesite.com", "somesite.com", body, None)])
+    assert _dests(extract.extract_links(f)) == {"http://somesite.com/real"}
+    # scalar twin agrees
+    spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+    py = extract.py_extract_links("http://somesite.com", spans, None)
+    assert [d for d, _, _ in py] == ["http://somesite.com/real"]
+
+
+def test_base_href_in_comment_ignored(spark):
+    """<base href> inside a comment must not rebase anything."""
+    body = (
+        "<!-- <base href='http://evil.example.com/'> -->"
+        "<a href='rel.html'>1</a>"
+    )
+    f = _fetched(
+        spark, [("http://somesite.com/dir/page", "somesite.com", body, None)]
+    )
+    assert _dests(extract.extract_links(f)) == {"http://somesite.com/dir/rel.html"}
+
+
+def test_script_strip_preserves_following_links_order(spark):
+    """Stripping is positional removal, not truncation: links after a
+    stripped region keep extracting, in document order."""
+    body = (
+        "<a href='/a'>1</a>"
+        "<script type='text/javascript'>document.write('<a href=\"/x\">')</script>"
+        "<a href='/b'>2</a>"
+    )
+    f = _fetched(spark, [("http://s.com", "s.com", body, None)])
+    out = extract.extract_links(f).orderBy("link_pos").collect()
+    assert [r["dest_url"] for r in out] == ["http://s.com/a", "http://s.com/b"]
+
+
 def test_fetchsim_headers_and_content_type(spark):
     """fetch-sim emits response headers (Content-Type / Location) and the
     case-insensitively derived content_type column; connection failures

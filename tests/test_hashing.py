@@ -32,8 +32,13 @@ def test_murmur3_matches_spark_hash(spark):
 
 def test_bloom_params_guava_envelope():
     m, k = bloom_params(1_000_000, 1e-4)
-    # Guava: optimalNumOfBits(1e6, 1e-4) = 19170116 bits, k = 13
-    assert abs(m - 19170116) < 16  # byte alignment slack
+    # Guava: optimalNumOfBits(1e6, 1e-4) = 19170116 bits, k = 13.
+    # Our blob is a numpy byte array, so m is Guava's value rounded UP
+    # to the next multiple of 8: ceil(19170116 / 8) * 8 = 19170120.
+    # Exact, not slack: alignment can only add 0-7 bits, and adding
+    # bits only lowers the realized fpp below the target.
+    assert m == 19170120
+    assert m - 19170116 == 4  # the alignment pad for this (n, fpp)
     assert k == 13
 
 
