@@ -115,6 +115,35 @@ def _q_url_kernel(spark, sf):
     )
 
 
+def _q_tpd_extract(spark, sf):
+    """P6 full PSL rule engine (crawler/psl.py, urlnorm.tpd_expr):
+    hosts synthesized per doc to cover every rule class — exact TLD,
+    two-label suffix, deep 4-label suffix (pvt.k12.ma.us), wildcard
+    (*.ck), exception (!www.ck), private suffixes (s3.amazonaws.com,
+    github.io), and a host that IS a public suffix ('notpd').  The
+    oracle states the EXPECTED registrable domain per template, so the
+    engine's longest-match/wildcard/exception logic is what's checked
+    (reference parity: Guava InternetDomainName.topPrivateDomain,
+    Requests.scala:50-53)."""
+    from crawler import urlnorm
+
+    docs = _read(spark, sf, "documents")
+    k = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("a.b.site"), k, F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("h"), k, F.lit(".pvt.k12.ma.us")))
+        .when(m == 3, F.concat(F.lit("foo"), k, F.lit(".bar"), k, F.lit(".ck")))
+        .when(m == 4, F.lit("www.ck"))
+        .when(m == 5, F.concat(F.lit("b"), k, F.lit(".s3.amazonaws.com")))
+        .when(m == 6, F.concat(F.lit("sub.site"), k, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("bar"), k, F.lit(".ck")))
+    )
+    d = docs.select("doc_id", host.alias("host"))
+    return d.select("doc_id", "host", urlnorm.tpd_expr(F.col("host")).alias("tpd"))
+
+
 def _q_provenance_cap(spark, sf):
     """withProvenance: append + keep last 10 (Requests.scala:62-65)."""
     from crawler import urlnorm
@@ -577,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count_top25": _q_word_count_top25,
         "crawl_stats": _q_crawl_stats,
         "url_kernel": _q_url_kernel,
+        "tpd_extract": _q_tpd_extract,
         "provenance_cap": _q_provenance_cap,
         "dedup_exact": _q_dedup_exact,
         "dedup_first_wins": _q_dedup_first_wins,
@@ -814,6 +844,34 @@ def oracle_sql() -> dict[str, str]:
                    lower(source || '.example.com') AS host,
                    'example.com' AS tpd
             FROM u
+        """,
+        "tpd_extract": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'www.site' || k || '.com'
+                     WHEN 1 THEN 'a.b.site' || k || '.co.uk'
+                     WHEN 2 THEN 'h' || k || '.pvt.k12.ma.us'
+                     WHEN 3 THEN 'foo' || k || '.bar' || k || '.ck'
+                     WHEN 4 THEN 'www.ck'
+                     WHEN 5 THEN 'b' || k || '.s3.amazonaws.com'
+                     WHEN 6 THEN 'sub.site' || k || '.github.io'
+                     ELSE 'bar' || k || '.ck'
+                   END AS host,
+                   -- expected registrable domain per template: exact
+                   -- TLD / co.uk / deep suffix / *.ck wildcard /
+                   -- !www.ck exception / private suffixes / a host
+                   -- that IS a public suffix -> 'notpd'
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'site' || k || '.com'
+                     WHEN 1 THEN 'site' || k || '.co.uk'
+                     WHEN 2 THEN 'h' || k || '.pvt.k12.ma.us'
+                     WHEN 3 THEN 'foo' || k || '.bar' || k || '.ck'
+                     WHEN 4 THEN 'www.ck'
+                     WHEN 5 THEN 'b' || k || '.s3.amazonaws.com'
+                     WHEN 6 THEN 'site' || k || '.github.io'
+                     ELSE 'notpd'
+                   END AS tpd
+            FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents)
         """,
         "provenance_cap": """
             WITH p AS (

@@ -23,7 +23,8 @@ Module map (SURVEY.md §7):
   fetchsim    network-free fetch stage: headers/content-type, gzip/deflate
               entity decode (P9), join vs pages
   frontier    frontier merge / seq assignment / salted skew partitioning
-  robots      robots.txt fetch + disallow-prefix cache
+  robots      robots.txt fetch + RFC-9309 rule cache (UA groups, Allow/
+              Disallow longest-match, * and $ wildcards)
   psl         vendored public-suffix-list snapshot (tpd data)
   streaming   Structured-Streaming seed intake (idempotent foreachBatch)
   consume     multi-instance fetched-stream consumption (claim-per-file)

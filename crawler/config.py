@@ -62,6 +62,9 @@ class CrawlConfig:
     #: frontier (out-of-band of the politeness budget); disallowed URLs
     #: are dropped at scheduling time
     fetch_robots: bool = False
+    #: product token matched against User-agent group names (RFC 9309);
+    #: the most specific matching group's rules are cached per host
+    user_agent: str = "sparkcrawler"
 
     # --- termination (TerminationSink.scala:28, Main.scala:37) ---
     max_fetched: int | None = None

@@ -165,7 +165,7 @@ class Crawl:
             # fetch + cache robots for hosts newly seen in the frontier
             # (out-of-band: robots fetches don't consume politeness budget)
             new_robots = robots_mod.refresh_robots(
-                pend, robots, pages, documents, wave
+                pend, robots, pages, documents, wave, user_agent=cfg.user_agent
             ).persist()
             to_unpersist = [new_robots]
             if new_robots.count() > 0:

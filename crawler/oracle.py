@@ -70,9 +70,10 @@ class Oracle:
         self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
         self.robots = dict(robots or {})
 
-    def _fetch_robots(self, host: str) -> list[str]:
-        """Mirror of robots.refresh_robots: 2xx robots page → parsed
-        Disallow prefixes; anything else → negative cache ([])."""
+    def _fetch_robots(self, host: str) -> list[tuple[bool, str, bool, str]]:
+        """Mirror of robots.refresh_robots: 2xx robots page → compiled
+        RFC-9309 rules of our UA's group; anything else → negative
+        cache ([])."""
         from . import robots as robots_mod
 
         page = self.pages.get(f"http://{host}/robots.txt")
@@ -81,7 +82,7 @@ class Oracle:
         doc_id = page[2]
         spans = self.docs.get(doc_id, []) if doc_id else []
         text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
-        return robots_mod.py_parse_disallow(text)
+        return robots_mod.py_parse_rules(text, self.cfg.user_agent)
 
     def run(self, seeds: list[str]) -> OracleResult:
         cfg = self.cfg
@@ -120,16 +121,17 @@ class Oracle:
                 eligible = [r for r in rows if r.not_before_wave <= w]
                 if not eligible:
                     continue
-                # robots (applied to every eligible row this wave)
+                # robots (applied to every eligible row this wave):
+                # longest-match verdict over path+query (mirrors
+                # robots.blocked_expr / match_target_expr engine-side)
+                from . import robots as robots_mod
+
                 allowed, blocked = [], []
                 for r in eligible:
-                    prefixes = self.robots.get(r.host)
-                    rest = r.url.split("://", 1)[1]
-                    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-                    # path only — query/fragment never match robots
-                    # prefixes (mirrors parse_url(url,'PATH') engine-side)
-                    path = path.split("?", 1)[0].split("#", 1)[0] or "/"
-                    if prefixes and any(path.startswith(p) for p in prefixes):
+                    rules = self.robots.get(r.host)
+                    if rules and robots_mod.py_blocked(
+                        rules, robots_mod.py_match_target(r.url)
+                    ):
                         blocked.append(r)
                     else:
                         allowed.append(r)

@@ -72,24 +72,22 @@ def delay_expr(tpd_col: str, cfg: CrawlConfig):
 
 
 def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(allowed, blocked) by robots.txt disallow prefixes — pure JVM
-    (left join on host + EXISTS over the prefix array).
+    """(allowed, blocked) by RFC-9309 robots rules — pure JVM (left join
+    on host + longest-match verdict over the compiled rule array; see
+    robots.blocked_expr for the precedence semantics).
 
     No broadcast hint: the robots cache holds one row per ever-seen host
     (unbounded at web scale) — AQE picks broadcast while it is small and
     falls back to a shuffle join on `host` when it is not."""
-    r = robots.select("host", "disallow_prefixes")
+    from . import robots as robots_mod
+
+    r = robots.select("host", "rules")
     joined = pending.join(r, on="host", how="left")
-    # parse_url returns '' (not NULL) for a bare-host URL like
-    # http://host — 'Disallow: /' must still block it, so '' → '/'
-    path = F.coalesce(
-        F.nullif(F.expr("parse_url(url, 'PATH')"), F.lit("")), F.lit("/")
+    blocked_pred = robots_mod.blocked_expr(
+        F.col("rules"), robots_mod.match_target_expr("url")
     )
-    blocked_pred = F.col("disallow_prefixes").isNotNull() & F.exists(
-        "disallow_prefixes", lambda p: path.startswith(p)
-    )
-    allowed = joined.where(~blocked_pred).drop("disallow_prefixes")
-    blocked = joined.where(blocked_pred).drop("disallow_prefixes")
+    allowed = joined.where(~blocked_pred).drop("rules")
+    blocked = joined.where(blocked_pred).drop("rules")
     return allowed, blocked
 
 

@@ -161,7 +161,22 @@ HOST_CONFIG = T.StructType(
 ROBOTS_CACHE = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
-        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        # compiled RFC-9309 rules of the group matching our UA (see
+        # robots.parse_rules_expr); empty = no restrictions / negative
+        T.StructField(
+            "rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("allow", T.BooleanType(), False),
+                        T.StructField("pattern", T.StringType(), False),
+                        T.StructField("wild", T.BooleanType(), False),
+                        T.StructField("re", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
         T.StructField("fetched_wave", T.IntegerType(), False),
     ]
 )

@@ -96,7 +96,10 @@ def test_robots_blocking(spark):
          ("http://a.example.com/ok", "example.com", 1)],
     )
     st = _state(spark, [("example.com", 0, 0)])
-    robots = _robots(spark, [("a.example.com", ["/private"], 0)])
+    robots = _robots(
+        spark,
+        [("a.example.com", [(False, "/private", False, "^/private")], 0)],
+    )
     s, blocked = politeness.schedule_wave(pend, st, robots, cfg, 0)
     assert [r["url"] for r in s.collect()] == ["http://a.example.com/ok"]
     assert [r["url"] for r in blocked.collect()] == ["http://a.example.com/private/x"]

@@ -13,16 +13,123 @@ from crawler.loop import Crawl
 from crawler.oracle import Oracle
 
 
-def test_parse_disallow(spark):
-    df = spark.createDataFrame(
-        [("User-agent: *\nDisallow: /private\n\nDisallow: /tmp/x \nAllow: /ok\nDisallow:",)],
-        "t string",
+def _jvm_rules(spark, text: str, ua: str):
+    df = spark.createDataFrame([(text,)], "t string")
+    rows = df.select(
+        robots.parse_rules_expr(F.col("t"), ua).alias("r")
+    ).collect()[0]["r"]
+    return [(r["allow"], r["pattern"], r["wild"], r["re"]) for r in rows]
+
+
+def _jvm_blocked(spark, text: str, ua: str, url: str) -> bool:
+    df = spark.createDataFrame([(text, url)], "t string, url string")
+    return df.select(
+        robots.blocked_expr(
+            robots.parse_rules_expr(F.col("t"), ua),
+            robots.match_target_expr("url"),
+        ).alias("b")
+    ).collect()[0]["b"]
+
+
+ROBOTS_GROUPS = """\
+# global rules
+User-agent: *
+Disallow: /private
+Disallow: /tmp/x \r
+Allow: /ok
+Disallow:
+
+User-agent: sparkcrawler
+User-agent: otherbot
+Disallow: /only-spark
+Allow: /only-spark/pub
+"""
+
+
+def test_parse_rules_group_selection(spark):
+    """The most specific matching UA group wins; JVM ≡ scalar twin;
+    empty Disallow is a no-op line; comments and CRLF are stripped."""
+    # our UA matches the sparkcrawler group → only its rules
+    got = _jvm_rules(spark, ROBOTS_GROUPS, "sparkcrawler")
+    py = robots.py_parse_rules(ROBOTS_GROUPS, "sparkcrawler")
+    assert [(a, p, w) for a, p, w, _ in got] == [
+        (False, "/only-spark", False),
+        (True, "/only-spark/pub", False),
+    ]
+    assert got == py
+    # an unknown UA falls back to the * group
+    got_star = _jvm_rules(spark, ROBOTS_GROUPS, "nobody")
+    assert [(a, p) for a, p, _, _ in got_star] == [
+        (False, "/private"), (False, "/tmp/x"), (True, "/ok"),
+    ]
+    assert got_star == robots.py_parse_rules(ROBOTS_GROUPS, "nobody")
+
+
+def test_parse_rules_leniency_and_empty_group(spark):
+    # headerless leading rules belong to an implicit * group
+    bare = "Disallow: /x"
+    assert _jvm_rules(spark, bare, "anybot") == robots.py_parse_rules(
+        bare, "anybot"
+    ) == [(False, "/x", False, "^/x")]
+    # blank lines are insignificant (RFC 9309): UA lines separated only
+    # by blanks still form ONE group's user-agent list
+    merged = "User-agent: sparkcrawler\n\nUser-agent: *\nDisallow: /"
+    assert [(a, p) for a, p, _, _ in _jvm_rules(spark, merged, "sparkcrawler")] == [
+        (False, "/")
+    ]
+    # a matching specific group with NO rules means allow-all — the *
+    # group's rules are NOT consulted (RFC 9309 group selection); a
+    # non-rule directive (Sitemap) ends the UA run, separating groups
+    empty_specific = (
+        "User-agent: sparkcrawler\nSitemap: http://h.com/s.xml\n"
+        "User-agent: *\nDisallow: /"
     )
-    out = df.select(robots.parse_disallow_expr(F.col("t")).alias("p")).collect()[0]["p"]
-    assert out == ["/private", "/tmp/x"]
-    assert robots.py_parse_disallow(
-        "User-agent: *\nDisallow: /private\n\nDisallow: /tmp/x \nAllow: /ok\nDisallow:"
-    ) == ["/private", "/tmp/x"]
+    assert _jvm_rules(spark, empty_specific, "sparkcrawler") == []
+    assert robots.py_parse_rules(empty_specific, "sparkcrawler") == []
+    assert not _jvm_blocked(spark, empty_specific, "sparkcrawler", "http://h.com/a")
+
+
+def test_rules_longest_match_precedence(spark):
+    """Longest matched pattern wins; on a length tie Allow wins."""
+    txt = "User-agent: *\nDisallow: /a\nAllow: /a/pub\nDisallow: /a/pub/secret"
+    cases = [
+        ("http://h.com/a/x", True),            # /a
+        ("http://h.com/a/pub/ok", False),      # /a/pub outranks /a
+        ("http://h.com/a/pub/secret/f", True), # longest again
+        ("http://h.com/b", False),             # no rule matches
+    ]
+    for url, want in cases:
+        assert _jvm_blocked(spark, txt, "bot", url) is want, url
+        assert robots.py_blocked(
+            robots.py_parse_rules(txt, "bot"), robots.py_match_target(url)
+        ) is want, url
+    # exact length tie → allow wins
+    tie = "User-agent: *\nDisallow: /ab\nAllow: /ab"
+    assert _jvm_blocked(spark, tie, "bot", "http://h.com/ab/x") is False
+
+
+def test_rules_wildcards_and_anchor(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /cgi/*?sid=\n"
+        "Disallow: /exact$\n"
+    )
+    cases = [
+        ("http://h.com/docs/a.pdf", True),       # $-anchored suffix
+        ("http://h.com/docs/a.pdfx", False),     # anchor holds
+        ("http://h.com/cgi/run?sid=1", True),    # * + query matching
+        ("http://h.com/cgi/run?id=1", False),
+        ("http://h.com/exact", True),
+        ("http://h.com/exact/sub", False),
+    ]
+    for url, want in cases:
+        assert _jvm_blocked(spark, txt, "bot", url) is want, url
+        assert robots.py_blocked(
+            robots.py_parse_rules(txt, "bot"), robots.py_match_target(url)
+        ) is want, url
+    # bare-host URL: 'Disallow: /' blocks it (path '' → '/')
+    assert _jvm_blocked(spark, "Disallow: /", "bot", "http://h.com") is True
 
 
 def test_robots_crawl_equivalence(spark, wh_root):
@@ -47,10 +154,10 @@ def test_robots_crawl_equivalence(spark, wh_root):
     assert all(not u.startswith("http://h001.com/p/3") for u in fetched_urls)
     # cache table has one row per touched host (incl. negative entries)
     cache = {
-        r["host"]: list(r["disallow_prefixes"])
+        r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
         for r in c._read("robots_cache").collect()
     }
-    assert cache["mega.com"] == ["/p/1"]
+    assert cache["mega.com"] == [(False, "/p/1")]
     assert cache.get("h000.com") == []  # negative cache
 
     got = {}
