@@ -73,13 +73,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
+    evidence: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
+        c0 = _cpu_sample()
         t0 = _now()
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution
         timings[name] = round(_now() - t0, 3)
+        evidence[name] = {"rows": n, "cpu": _cpu_delta(c0, _cpu_sample())}
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-    return timings
+    return timings, evidence
 
 
 def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
@@ -169,7 +172,7 @@ def main() -> None:
     spark = get_spark("crawler-bench", master=f"local[{cpus}]")
     c_all = _cpu_sample()
     t_all = _now()
-    timings = run_queries(spark, sf_dir)
+    timings, query_evidence = run_queries(spark, sf_dir)
     frontier = run_frontier_wave(spark, frontier_n, reps=reps)
     total = round(_now() - t_all, 3)
     cpu_all = _cpu_delta(c_all, _cpu_sample())
@@ -185,6 +188,10 @@ def main() -> None:
                 "frontier": frontier,
                 "cpus": cpus,
                 "cpu": cpu_all,
+                # per-query host-health evidence (rows + /proc/stat
+                # busy/steal delta): a query number inflated by a
+                # hypervisor-steal window is self-evident
+                "query_evidence": query_evidence,
             }
         )
     )
