@@ -144,6 +144,72 @@ def _q_tpd_extract(spark, sf):
     return d.select("doc_id", "host", urlnorm.tpd_expr(F.col("host")).alias("tpd"))
 
 
+def _q_robots_eval(spark, sf):
+    """RFC-9309 robots engine (crawler/robots.py) driver-checked: eight
+    robots.txt templates synthesized per doc exercise UA-group selection
+    by specificity (specific beats '*', matching group with only
+    non-path directives = allow-all), Allow/Disallow longest-match with
+    allow winning length ties, '*' wildcards, '$' anchors, the implicit
+    leading-'*' group, and case/comment lenience.  The body is PARSED by
+    the real JVM fold (parse_rules_expr) and matched by the real verdict
+    expression (blocked_expr over match_target_expr); the oracle states
+    the closed-form EXPECTED verdict per template, so a hash match
+    proves the engine reproduces RFC-9309 semantics on the grid."""
+    from crawler import robots
+
+    docs = _read(spark, sf, "documents")
+    k = F.col("doc_id").cast("string")
+    p = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    url = F.concat(
+        F.lit("http://h"), k, F.lit(".example.com/sec"), p, F.lit("/page"), k,
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.concat(F.lit("?q="), p))
+        .otherwise(F.lit("")),
+    )
+    body = (
+        # m=0: plain prefix rules in a '*' group
+        F.when(m == 0, F.lit("User-agent: *\nDisallow: /sec0\nDisallow: /sec1"))
+        # m=1: specific group beats '*' (the '*' Disallow:/ must NOT apply)
+        .when(m == 1, F.lit(
+            "User-agent: *\nDisallow: /\nUser-agent: crawlerbot\nDisallow: /sec3"
+        ))
+        # m=2: longest-match precedence (Allow len 10 beats Disallow len 4)
+        .when(m == 2, F.lit("User-agent: *\nDisallow: /sec\nAllow: /sec2/page"))
+        # m=3: '*' wildcard (blocks any target with a query string)
+        .when(m == 3, F.lit("User-agent: crawlerbot\nDisallow: /*?"))
+        # m=4: '$' anchor — exact-path block only
+        .when(m == 4, F.concat(
+            F.lit("User-agent: *\nDisallow: /sec2/page"), k, F.lit("$")
+        ))
+        # m=5: matching group with only a non-path directive = allow-all;
+        # the less-specific '*' group (Disallow:/) is NOT consulted
+        .when(m == 5, F.lit(
+            "User-agent: crawlerbot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /"
+        ))
+        # m=6: implicit leading-'*' group + equal-length tie → Allow wins
+        .when(m == 6, F.lit("Disallow: /sec4\nAllow: /sec4\nDisallow: /sec0"))
+        # m=7: case-insensitive directives/UA token + trailing comments
+        .otherwise(F.concat(
+            F.lit("# robots\nUsEr-AgEnT: CrAwLeRbOt\nDiSaLlOw: /sec"),
+            F.pmod(F.col("doc_id"), F.lit(2)).cast("string"),
+            F.lit("  # trailing"),
+        ))
+    )
+    d = docs.select(
+        "doc_id",
+        m.cast("int").alias("tmpl"),
+        robots.match_target_expr(url).alias("target"),
+        body.alias("_body"),
+    )
+    rules = robots.parse_rules_expr(F.col("_body"), "crawlerbot")
+    return d.select(
+        "doc_id",
+        "tmpl",
+        "target",
+        robots.blocked_expr(rules, F.col("target")).alias("blocked"),
+    )
+
+
 def _q_provenance_cap(spark, sf):
     """withProvenance: append + keep last 10 (Requests.scala:62-65)."""
     from crawler import urlnorm
@@ -607,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_stats": _q_crawl_stats,
         "url_kernel": _q_url_kernel,
         "tpd_extract": _q_tpd_extract,
+        "robots_eval": _q_robots_eval,
         "provenance_cap": _q_provenance_cap,
         "dedup_exact": _q_dedup_exact,
         "dedup_first_wins": _q_dedup_first_wins,
@@ -872,6 +939,29 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'notpd'
                    END AS tpd
             FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents)
+        """,
+        "robots_eval": """
+            -- closed-form EXPECTED verdict per robots template: the
+            -- Spark side parses+matches the rendered robots.txt with
+            -- the real RFC-9309 engine; equality proves the semantics.
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS INT) AS tmpl,
+                   '/sec' || p || '/page' || k ||
+                     (CASE WHEN doc_id % 3 = 0 THEN '?q=' || p ELSE '' END)
+                     AS target,
+                   CASE doc_id % 8
+                     WHEN 0 THEN p IN ('0', '1')          -- prefix rules
+                     WHEN 1 THEN p = '3'                  -- specific group only
+                     WHEN 2 THEN p <> '2'                 -- longest-match
+                     WHEN 3 THEN doc_id % 3 = 0           -- /*? wildcard
+                     WHEN 4 THEN p = '2' AND doc_id % 3 <> 0  -- $ anchor
+                     WHEN 5 THEN FALSE                    -- group w/o path rules
+                     WHEN 6 THEN p = '0'                  -- implicit *; tie->allow
+                     ELSE p = CAST(doc_id % 2 AS VARCHAR) -- case/comment lenience
+                   END AS blocked
+            FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+                         CAST(doc_id % 5 AS VARCHAR) AS p
+                  FROM documents)
         """,
         "provenance_cap": """
             WITH p AS (
