@@ -30,15 +30,39 @@ from pyspark.sql.functions import pandas_udf
 
 from . import urlnorm
 
-#: a[href] with single-quoted, double-quoted, or UNQUOTED value — the
-#: three forms Jsoup's a[href] selector accepts
-#: (RequestExtractor.scala:49-57); a production swap-in would be an
-#: html5 tokenizer behind this same UDF.
-_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s'">][^\s>]*))"""
+#: quote-aware <a> tag scan (tokenizer-grade, matching Jsoup's a[href]
+#: selector, RequestExtractor.scala:49-57): the attr region consumes
+#: quoted chunks whole, so '>' inside a quoted attribute value does not
+#: end the tag, and the href value is picked by a real attribute WALK
+#: (`_href_of_tag`) instead of a substring match — `data-href=` or an
+#: 'href=' inside another attribute's quoted value never false-match.
+_A_TAG_RE = r"""(?is)<a(?=[\s/>])((?:"[^"]*"|'[^']*'|[^>])*)"""
 
 #: first <base href> of the document — Jsoup resolves abs:href against
 #: it when present (HTML spec: the first base element wins, globally)
-_BASE_RE = r"""(?is)<base\s[^>]*?href\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s'">][^\s>]*))"""
+_BASE_TAG_RE = r"""(?is)<base(?=[\s/>])((?:"[^"]*"|'[^']*'|[^>])*)"""
+
+#: one attribute inside a tag's attr region: name [= value] with the
+#: three HTML value forms (double-quoted / single-quoted / unquoted)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
+def _href_of_tag(attrs: str) -> str | None:
+    """First href attribute of a tag's attr region, entity-decoded
+    (Jsoup returns attribute values decoded; first occurrence wins per
+    the HTML spec's duplicate-attribute rule).  None = no href VALUE
+    (absent, or a bare `href` flag) → the tag yields no link."""
+    for m in _ATTR_RE.finditer(attrs):
+        if m.group(1).lower() == "href":
+            v = m.group(2)
+            if v is None:
+                return None
+            if v[:1] in "\"'":
+                v = v[1:-1]
+            return html.unescape(v) if "&" in v else v
+    return None
 
 #: chars legal in a URI — if a URL matches, pass through unchanged
 #: (already-escaped golden); else percent-escape (space→%20 golden)
@@ -102,32 +126,28 @@ def _resolve_vec(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     return out
 
 
-def _pick_unescape(groups: tuple[str, ...]) -> str:
-    """First non-empty alternation group, HTML-entity-decoded (Jsoup
-    returns attribute values entity-decoded: &amp; → &)."""
-    h = groups[0] or groups[1] or groups[2]
-    return html.unescape(h) if "&" in h else h
-
-
 @pandas_udf(T.ArrayType(T.StringType()))
 def find_hrefs_udf(text: pd.Series) -> pd.Series:
-    """All href values of a text span, in document order (C-level regex
-    over the whole batch; the per-match pick/unescape is list-building)."""
-    matches = _strip_dead_regions(text.fillna("")).str.findall(_HREF_RE)
-    return matches.map(lambda ms: [_pick_unescape(m) for m in ms])
+    """All a[href] values of a text span, in document order.  The tag
+    scan is one C-level regex pass over the whole batch; the attribute
+    walk runs once per ANCHOR TAG (list-building granularity, same as
+    any per-match pick), not per row or per character."""
+    matches = _strip_dead_regions(text.fillna("")).str.findall(_A_TAG_RE)
+    return matches.map(
+        lambda ms: [h for h in (_href_of_tag(m) for m in ms) if h is not None]
+    )
 
 
 @pandas_udf(T.StringType())
 def find_base_href_udf(text: pd.Series) -> pd.Series:
-    """First <base href> of the document text ('' when absent)."""
-    g = _strip_dead_regions(text.fillna("")).str.extract(_BASE_RE, expand=True)
-    merged = g[0].where(g[0].notna(), g[1])
-    merged = merged.where(merged.notna(), g[2])
-    merged = merged.where(merged.notna(), "")
-    mask = merged.str.contains("&", regex=False)
-    if mask.any():
-        merged[mask] = merged[mask].map(html.unescape)
-    return merged
+    """First <base href=...> of the document text ('' when absent) —
+    per the HTML spec, the first base element WITH an href wins."""
+    matches = _strip_dead_regions(text.fillna("")).str.findall(_BASE_TAG_RE)
+    return matches.map(
+        lambda ms: next(
+            (h for h in (_href_of_tag(m) for m in ms) if h is not None), ""
+        )
+    )
 
 
 @pandas_udf(T.StringType())
@@ -248,16 +268,30 @@ def extract_media_refs(fetched: DataFrame) -> DataFrame:
 
 # scalar twin for the oracle --------------------------------------------------
 
-_HREF_SCALAR_RE = re.compile(_HREF_RE)
-_BASE_SCALAR_RE = re.compile(_BASE_RE)
+_A_TAG_SCALAR_RE = re.compile(_A_TAG_RE)
+_BASE_TAG_SCALAR_RE = re.compile(_BASE_TAG_RE)
 _STRIP_SCALAR_RE = re.compile(_STRIP_RE)
 
 
-def _scalar_pick(m: re.Match) -> str:
-    h = m.group(1) if m.group(1) is not None else (
-        m.group(2) if m.group(2) is not None else m.group(3)
-    )
-    return html.unescape(h) if "&" in h else h
+def py_find_hrefs(text: str) -> list[str]:
+    """Scalar twin of find_hrefs_udf (post-strip tag scan + attr walk)."""
+    stripped = _STRIP_SCALAR_RE.sub("", text or "")
+    out = []
+    for m in _A_TAG_SCALAR_RE.finditer(stripped):
+        h = _href_of_tag(m.group(1))
+        if h is not None:
+            out.append(h)
+    return out
+
+
+def py_find_base_href(text: str) -> str:
+    """Scalar twin of find_base_href_udf."""
+    stripped = _STRIP_SCALAR_RE.sub("", text or "")
+    for m in _BASE_TAG_SCALAR_RE.finditer(stripped):
+        h = _href_of_tag(m.group(1))
+        if h is not None:
+            return h
+    return ""
 
 
 def py_extract_links(
@@ -270,17 +304,15 @@ def py_extract_links(
     base = re.sub(r"[?#].*$", "", url)
     doc_text = "".join(s["text"] or "" for s in spans or [] if s["kind"] == "text")
     if "<base" in doc_text.lower():
-        bm = _BASE_SCALAR_RE.search(_STRIP_SCALAR_RE.sub("", doc_text))
-        if bm:
-            resolved = resolve_link(base, _scalar_pick(bm))
+        bh = py_find_base_href(doc_text)
+        if bh:
+            resolved = resolve_link(base, bh)
             base = resolved or base
     out: list[tuple[str, str, int]] = []
     for span in spans or []:
         if span["kind"] != "text":
             continue
-        stripped = _STRIP_SCALAR_RE.sub("", span["text"] or "")
-        for i, m in enumerate(_HREF_SCALAR_RE.finditer(stripped)):
-            href = _scalar_pick(m)
+        for i, href in enumerate(py_find_hrefs(span["text"])):
             dest = resolve_link(base, href)
             if not dest:
                 continue
