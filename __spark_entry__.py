@@ -396,10 +396,19 @@ def _q_ngram_jaccard_dups(spark, sf):
     # set SIZE projected once per doc; per pair only ONE set traversal
     # (intersect) remains — |a ∪ b| = |a| + |b| - |a ∩ b|, exactly the
     # formula the DuckDB oracle uses (array ops are interpreted, so a
-    # second union traversal per pair is pure waste)
+    # second union traversal per pair is pure waste).  Shingles are
+    # hashed to 60-bit longs ONCE per doc (JVM md5) so the per-pair
+    # intersect compares/hashes fixed-width longs, not strings — the
+    # oracle hashes identically, so collision behavior (negligible at
+    # 2^60) is bit-identical on both sides.
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.array_distinct(F.split(F.lower("text"), " ")).alias("sh"),
+        F.array_distinct(
+            F.transform(
+                F.split(F.lower("text"), " "),
+                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("sh"),
     ).withColumn("n", F.size("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
@@ -839,7 +848,9 @@ def _ngram_lsh_oracle_sql() -> str:
                         AND a.doc_id < b.doc_id
         ),
         sh AS (
-          SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+          SELECT doc_id,
+                 list_distinct(list_transform(string_split(lower(text), ' '),
+                   w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS s
           FROM documents
         )
         SELECT doc_a, doc_b, {jac} AS jaccard

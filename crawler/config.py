@@ -81,6 +81,14 @@ class CrawlConfig:
     # --- frontier compaction (log-structured adds/consumed) ---
     compact_every_waves: int = 8
 
+    # --- snapshot expiry (Iceberg expire_snapshots analog) ---
+    #: every N waves, drop manifests/data files below the committed
+    #: catalog beyond the last `expire_keep_last` versions per table —
+    #: bounds warehouse storage on long crawls (resume only ever needs
+    #: the committed snapshot).  0 disables.
+    expire_every_waves: int = 16
+    expire_keep_last: int = 2
+
     def delay_for(self, tpd: str) -> int:
         return self.domain_delays.get(tpd, self.per_domain_delay_ms)
 

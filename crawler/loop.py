@@ -323,6 +323,13 @@ class Crawl:
                     "bytes": st.get("bytes", 0) + m.bytes_fetched,
                 },
             )
+        # ---- periodic snapshot expiry bounds storage on long crawls
+        # (safe vs concurrent intake: expire() keeps every manifest
+        # above the committed version, so staged-in-flight appends
+        # survive; resume only ever reads the committed snapshot)
+        if cfg.expire_every_waves and (wave + 1) % cfg.expire_every_waves == 0:
+            self.wh.expire(keep_last=cfg.expire_keep_last)
+
         m.pending_after = self.pending_count()
 
         for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links,

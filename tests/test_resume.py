@@ -95,3 +95,49 @@ def test_resume_noop_when_finished(spark, tmp_path):
     out = c2.run()
     assert c2.wh.catalog.state()["wave"] == final_wave
     assert len(out) <= 3  # only empty clock-advance waves, if any
+
+
+def test_in_loop_expiry_bounds_manifests_and_preserves_state(spark, tmp_path):
+    """cfg.expire_every_waves: the loop vacuums the warehouse as it
+    runs — manifest history stays bounded and the final state is
+    identical to an expiry-disabled run."""
+    import os
+
+    seeds = ["http://localhost:9090/crawl/1", "http://localhost:9090/links/1"]
+    pages, docs = _fixture(spark)
+
+    cfg_off = make_test_config(
+        seed_url_seen=True, max_waves=12, expire_every_waves=0
+    )
+    c_off = Crawl(spark, str(tmp_path / "off"), cfg_off)
+    c_off.init(seeds, pages, docs)
+    c_off.run()
+
+    cfg_on = make_test_config(
+        seed_url_seen=True, max_waves=12, expire_every_waves=2,
+        expire_keep_last=1,
+    )
+    c_on = Crawl(spark, str(tmp_path / "on"), cfg_on)
+    c_on.init(seeds, pages, docs)
+    c_on.run()
+
+    assert _final_state(c_on) == _final_state(c_off)
+
+    def manifest_counts(root):
+        out = {}
+        for t in sorted(os.listdir(root)):
+            meta = os.path.join(root, t, "_meta")
+            if os.path.isdir(meta):
+                out[t] = sum(
+                    1 for m in os.listdir(meta)
+                    if m.startswith("v") and m.endswith(".json")
+                )
+        return out
+
+    on_counts = manifest_counts(str(tmp_path / "on"))
+    off_counts = manifest_counts(str(tmp_path / "off"))
+    # expiry fired: every table's history is no longer the full log
+    assert sum(on_counts.values()) < sum(off_counts.values())
+    # bounded: at most keep_last at-or-below committed (+ nothing staged
+    # after the final commit), modulo waves since the last expiry tick
+    assert all(n <= 1 + 2 for n in on_counts.values()), on_counts
