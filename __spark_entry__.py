@@ -318,16 +318,30 @@ def _q_simhash_dups(spark, sf):
 
     a, b = spread(chunks, "doc_id").alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).cast("int")
+
+    # first-colliding-chunk-wins: a pair sharing several chunks (near-
+    # identical docs share all 4) is kept ONLY at its lowest shared
+    # chunk_id — duplicates are rejected inside the join instead of by a
+    # distinct() exchange over the 4×-inflated pair stream
+    def _chunk_at(side: str, c: int):
+        return F.shiftrightunsigned(F.col(f"{side}.sim"), c * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    first_chunk = F.lit(True)
+    for c in range(3):
+        first_chunk = first_chunk & (
+            (F.col("chunk_id") <= F.lit(c)) | (_chunk_at("a", c) != _chunk_at("b", c))
+        )
     return (
         a.join(b, on=["chunk_id", "chunk"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & first_chunk)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
-        .distinct()
     )
 
 

@@ -253,9 +253,23 @@ def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
         ).alias("cc"),
     ).select("doc_id", "sim", "cc.chunk_id", "cc.chunk")
     a, b = spread(chunks, "doc_id").alias("a"), chunks.alias("b")
+
+    # first-colliding-chunk-wins: keep a pair only at its lowest shared
+    # chunk_id — dedup happens inside the join, not via a distinct()
+    # exchange over the (up to 4×) duplicated pair stream
+    def _chunk_at(side: str, c: int):
+        return F.shiftrightunsigned(F.col(f"{side}.sim"), c * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    first_chunk = F.lit(True)
+    for c in range(3):
+        first_chunk = first_chunk & (
+            (F.col("chunk_id") <= F.lit(c)) | (_chunk_at("a", c) != _chunk_at("b", c))
+        )
     return (
         a.join(b, on=["chunk_id", "chunk"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & first_chunk)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -264,7 +278,6 @@ def simhash_dedup(documents: DataFrame, hamming_max: int = 3) -> DataFrame:
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= hamming_max)
-        .distinct()
     )
 
 
