@@ -162,7 +162,14 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-    frontier_n = int(os.environ.get("BENCH_FRONTIER_URLS", 2_000_000))
+    # 8M, not 2M: each wave carries ~2-3s of input-size-independent cost
+    # (driver planning, Python-worker spawn, stage barriers), which at a
+    # 1.6M-URL input is up to a third of a clean ~5-8s rep — the metric
+    # then measures fixed overhead, not the engine (same amortization
+    # argument as the scaling-gate input, PLANS.md "Scaling evidence").
+    # Measured in one host epoch: 1.6M input → 198k URLs/s clean rep;
+    # 8M input → 283k clean rep, and steal-degraded reps stay ≥160k.
+    frontier_n = int(os.environ.get("BENCH_FRONTIER_URLS", 8_000_000))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from crawler.session import get_spark
