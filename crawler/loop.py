@@ -66,10 +66,16 @@ class WaveMetrics:
 
 
 class Crawl:
-    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig):
+    def __init__(
+        self, spark: SparkSession, root: str, cfg: CrawlConfig, fetcher=None
+    ):
         self.spark = spark
         self.cfg = cfg
         self.wh = Warehouse(root)
+        #: the O5 seam: (scheduled, pages, documents) -> FETCHED rows.
+        #: default = the network-free join simulator; pass
+        #: fetchhttp.http_fetcher(...) to crawl a real HTTP surface
+        self.fetcher = fetcher or fetchsim.fetch
 
     # ------------------------------------------------------------- setup
 
@@ -184,7 +190,7 @@ class Crawl:
 
         # ---- fetch + deliver
         fetched_raw = (
-            fetchsim.fetch(scheduled, pages, documents)
+            self.fetcher(scheduled, pages, documents)
             .withColumn("wave", F.lit(wave).cast("int"))
             .persist()
         )

@@ -1,0 +1,224 @@
+"""Real-network fetch path (O5): crawler/fetchhttp.py driven against a
+LIVE local HTTP server serving the reference test fixture — the same
+shape as the reference's integration tests, which crawl a local
+TestHttpServer (TestHttpServer.scala:18-44) with the real Spray client.
+
+The headline assertion: a full crawl through the real fetcher produces
+the same crawl order, URL-seen set, byte counts, and (normalized) span
+streams as the network-free fetchsim join over the identical fixture.
+"""
+
+from __future__ import annotations
+
+import gzip
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler import fetchhttp, synth
+from crawler.config import test_config
+from crawler.loop import Crawl
+
+
+def render_body(spans: list[dict]) -> str:
+    """Fixture spans → HTML body (the renderer fetchhttp.spans_from_html
+    inverts): text spans verbatim, media spans as <img src>."""
+    return "".join(
+        s["text"] if s["kind"] == "text" else f'<img src="{s["media_ref"]}">'
+        for s in spans
+    )
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    """The TestHttpServer fixture graph on a real localhost socket."""
+    pages_pd, docs_pd = synth.test_server_fixture()
+    bodies = {
+        d["doc_id"]: render_body(d["spans"]) for d in docs_pd.to_dict("records")
+    }
+    routes = {}
+    for p in pages_pd.to_dict("records"):
+        path = "/" + p["url"].split("://", 1)[1].split("/", 1)[1] if "/" in p[
+            "url"
+        ].split("://", 1)[1] else "/"
+        routes[path] = p
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/gz":  # handler-only route: gzip coding
+                raw = gzip.compress(b"<html><body>gz OK</body></html>")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+                return
+            row = routes.get(self.path)
+            if row is None:  # default route (TestHttpServer.scala:45)
+                body = b"OK!"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            status = int(row["status"])
+            if status in (301, 302, 303, 307, 308):
+                self.send_response(status)
+                self.send_header("Location", row["location"])
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if status != 200:
+                self.send_response(status)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = bodies.get(row["doc_id"], "OK!").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    yield {"localhost:9090": f"127.0.0.1:{port}"}
+    srv.shutdown()
+
+
+def _scheduled_df(spark, urls: list[str]):
+    from crawler import urlnorm
+
+    rows = [
+        (
+            u,
+            u,
+            u.split("://")[1].split("/")[0],
+            "localhost" if "localhost" in u else u.split("://")[1].split("/")[0],
+            0,
+            i,
+            "GET",
+            [u],
+            None,
+            None,
+        )
+        for i, u in enumerate(urls)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, url_canon string, host string, tpd string, fetch_ms long,"
+        " seq long, method string, provenance array<string>,"
+        " req_headers array<struct<name:string,value:string>>, req_entity binary",
+    )
+    return df
+
+
+def test_fetch_http_routes(spark, live_server):
+    fetch = fetchhttp.http_fetcher(resolve=live_server, timeout_s=5.0)
+    base = "http://localhost:9090"
+    out = {
+        r["url"]: r
+        for r in fetch(
+            _scheduled_df(
+                spark,
+                [
+                    f"{base}/links/1",
+                    f"{base}/status/301",
+                    f"{base}/status/404",
+                    f"{base}/gz",
+                    f"{base}/unknown/path",
+                    "http://no-such-host.invalid/x",
+                ],
+            )
+        ).collect()
+    }
+
+    ok = out[f"{base}/links/1"]
+    assert ok["status"] == 200 and ok["content_type"] == "text/html"
+    text = "".join(s["text"] for s in ok["spans"])
+    assert '<a href="/links/2">' in text
+
+    redir = out[f"{base}/status/301"]
+    assert redir["status"] == 301 and redir["location"] == "/"
+
+    assert out[f"{base}/status/404"]["status"] == 404
+    assert out[f"{base}/unknown/path"]["status"] == 200  # default route
+
+    gz = out[f"{base}/gz"]
+    assert gz["status"] == 200
+    assert "gz OK" in "".join(s["text"] for s in gz["spans"])
+    names = [h["name"].lower() for h in gz["response_headers"]]
+    assert "content-encoding" not in names  # consumed by the decode
+
+    dead = out["http://no-such-host.invalid/x"]
+    assert dead["status"] == 0 and dead["spans"] is None
+
+
+def test_spans_from_html_roundtrip():
+    """renderer ∘ parser is the identity on the normalized span stream,
+    for every fixture document (media interleavings included)."""
+    _, docs_pd = synth.test_server_fixture()
+    for d in docs_pd.to_dict("records"):
+        fixture = fetchhttp.normalize_spans(d["spans"])
+        reparsed = fetchhttp.normalize_spans(
+            fetchhttp.spans_from_html(render_body(d["spans"]))
+        )
+        assert reparsed == fixture, d["doc_id"]
+
+
+def test_http_crawl_matches_fetchsim(spark, live_server, tmp_path):
+    """Full ring crawl through the REAL fetcher == fetchsim crawl:
+    same per-wave fetch set, same fetch_ms (order), same URL-seen,
+    same bytes, same normalized span streams for every 200 page."""
+    pages_pd, docs_pd = synth.test_server_fixture()
+    pages = synth.pages_df(spark, pages_pd)
+    docs = synth.documents_df(spark, docs_pd)
+    cfg = test_config(seed_url_seen=True, max_waves=14)
+    seeds = ["http://localhost:9090/crawl/1"]
+
+    sim = Crawl(spark, str(tmp_path / "wh_sim"), cfg)
+    sim.init(seeds, pages, docs)
+    sim.run(quiet=True)
+
+    real = Crawl(
+        spark,
+        str(tmp_path / "wh_http"),
+        cfg,
+        fetcher=fetchhttp.http_fetcher(resolve=live_server, timeout_s=5.0),
+    )
+    real.init(seeds, pages, docs)
+    real.run(quiet=True)
+
+    def delivered(c):
+        return {
+            r["url"]: r
+            for r in c._read("fetched").where(F.col("status") == 200).collect()
+        }
+
+    sim_rows, real_rows = delivered(sim), delivered(real)
+    assert sorted(sim_rows) == sorted(real_rows)
+    for url, s in sim_rows.items():
+        r = real_rows[url]
+        assert (s["wave"], s["fetch_ms"], s["seq"]) == (
+            r["wave"],
+            r["fetch_ms"],
+            r["seq"],
+        ), url
+        assert s["n_bytes"] == r["n_bytes"], url
+        s_spans = [row.asDict() for row in s["spans"]]
+        r_spans = [row.asDict() for row in r["spans"]]
+        assert fetchhttp.normalize_spans(s_spans) == fetchhttp.normalize_spans(
+            r_spans
+        ), url
+
+    seen = lambda c: {r["url_canon"] for r in c._read("url_seen").collect()}  # noqa: E731
+    assert seen(sim) == seen(real)
