@@ -170,9 +170,16 @@ class Crawl:
         if cfg.fetch_robots:
             # fetch + cache robots for hosts newly seen in the frontier
             # (out-of-band: robots fetches don't consume politeness budget)
-            new_robots = robots_mod.refresh_robots(
-                pend, robots, pages, documents, wave, user_agent=cfg.user_agent
-            ).persist()
+            if self.fetcher is fetchsim.fetch:
+                new_robots = robots_mod.refresh_robots(
+                    pend, robots, pages, documents, wave, user_agent=cfg.user_agent
+                ).persist()
+            else:
+                # real fetcher installed → robots.txt goes over the wire
+                # through the same O5 seam as page fetches
+                new_robots = robots_mod.refresh_robots_via(
+                    pend, robots, wave, cfg.user_agent, self.fetcher
+                ).persist()
             to_unpersist = [new_robots]
             if new_robots.count() > 0:
                 robots_version = self._t("robots_cache").append(

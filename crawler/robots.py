@@ -227,6 +227,28 @@ def robots_text_expr(spans_col) -> Column:
     )
 
 
+def _robots_requests(pending: DataFrame, robots_cache: DataFrame) -> DataFrame:
+    """One row per not-yet-cached host: (host, tpd, _rurl).  The robots
+    URL is derived from a representative pending URL's AUTHORITY
+    (scheme://host[:port]) rather than the politeness host column —
+    the host column strips ports, so a port-bearing crawl surface
+    (e.g. a :9090 test server, an :8080 intranet) would otherwise ask
+    the wrong origin for robots.txt.  min(url) keeps it deterministic."""
+    return (
+        pending.groupBy("host")
+        .agg(F.min("url").alias("_any_url"), F.min("tpd").alias("tpd"))
+        .join(robots_cache.select("host"), on="host", how="left_anti")
+        .select(
+            "host",
+            "tpd",
+            F.concat(
+                F.regexp_extract("_any_url", r"^(https?://[^/]+)", 1),
+                F.lit("/robots.txt"),
+            ).alias("_rurl"),
+        )
+    )
+
+
 def refresh_robots(
     pending: DataFrame,
     robots_cache: DataFrame,
@@ -238,13 +260,9 @@ def refresh_robots(
     """New ROBOTS_CACHE rows for hosts with pending rows but no cache
     entry.  One anti-join on host (distinct hosts, tiny) + one fetch-sim
     join against the web."""
-    new_hosts = (
-        pending.select("host")
-        .distinct()
-        .join(robots_cache.select("host"), on="host", how="left_anti")
+    req = _robots_requests(pending, robots_cache).select(
+        "host", F.col("_rurl")
     )
-    robots_url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
-    req = new_hosts.select("host", robots_url.alias("_rurl"))
 
     web = pages.join(documents, on="doc_id", how="left").select(
         F.col("url").alias("_rurl"),
@@ -257,6 +275,44 @@ def refresh_robots(
         ok, parse_rules_expr(robots_text_expr(F.col("_spans")), user_agent)
     )
     return j.select(
+        F.col("host"),
+        F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
+        F.lit(wave).cast("int").alias("fetched_wave"),
+    )
+
+
+def refresh_robots_via(
+    pending: DataFrame,
+    robots_cache: DataFrame,
+    wave: int,
+    user_agent: str,
+    fetch_fn,
+) -> DataFrame:
+    """refresh_robots through the pluggable O5 fetcher: when a real
+    fetcher is installed (loop.Crawl(fetcher=...)), robots.txt is
+    fetched over the actual network instead of the fixture join — same
+    anti-join discovery, same parse, same output rows.  Non-2xx (404,
+    connection failure) caches an empty rule set, like the sim path."""
+    sched = _robots_requests(pending, robots_cache).select(
+        F.col("_rurl").alias("url"),
+        F.col("_rurl").alias("url_canon"),
+        "host",
+        "tpd",
+        F.lit(0).cast("long").alias("fetch_ms"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("GET").alias("method"),
+        F.array(F.col("_rurl")).alias("provenance"),
+        F.lit(None)
+        .cast("array<struct<name:string,value:string>>")
+        .alias("req_headers"),
+        F.lit(None).cast("binary").alias("req_entity"),
+    )
+    fetched = fetch_fn(sched, None, None)
+    ok = F.col("status").between(200, 299)
+    rules = F.when(
+        ok, parse_rules_expr(robots_text_expr(F.col("spans")), user_agent)
+    )
+    return fetched.select(
         F.col("host"),
         F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
         F.lit(wave).cast("int").alias("fetched_wave"),

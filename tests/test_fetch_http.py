@@ -22,6 +22,11 @@ from crawler.config import test_config
 from crawler.loop import Crawl
 
 
+#: served by the live server's /robots.txt and mirrored into the sim
+#: fixture by _fixture_with_robots — blocks the ring at /crawl/5
+ROBOTS_BODY = "User-agent: *\nDisallow: /crawl/5"
+
+
 def render_body(spans: list[dict]) -> str:
     """Fixture spans → HTML body (the renderer fetchhttp.spans_from_html
     inverts): text spans verbatim, media spans as <img src>."""
@@ -50,6 +55,14 @@ def live_server():
             pass
 
         def do_GET(self):
+            if self.path == "/robots.txt":
+                body = ROBOTS_BODY.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path == "/gz":  # handler-only route: gzip coding
                 raw = gzip.compress(b"<html><body>gz OK</body></html>")
                 self.send_response(200)
@@ -222,3 +235,92 @@ def test_http_crawl_matches_fetchsim(spark, live_server, tmp_path):
 
     seen = lambda c: {r["url_canon"] for r in c._read("url_seen").collect()}  # noqa: E731
     assert seen(sim) == seen(real)
+
+
+def test_http_robots_over_the_wire(spark, live_server, tmp_path):
+    """With a real fetcher and fetch_robots=True, robots.txt is fetched
+    over the actual socket (refresh_robots_via) — and the crawl it
+    gates equals the fixture-join sim crawl given the same robots body:
+    the ring stops at the Disallow'd /crawl/5 in both."""
+    import pandas as pd
+
+    pages_pd, docs_pd = synth.test_server_fixture()
+    # mirror the live server's /robots.txt into the sim fixture
+    rb_doc = "doc:/robots.txt"
+    docs_sim = pd.concat(
+        [
+            docs_pd,
+            pd.DataFrame(
+                [
+                    {
+                        "doc_id": rb_doc,
+                        "spans": [
+                            {
+                                "kind": "text",
+                                "text": ROBOTS_BODY,
+                                "media_ref": "",
+                                "offset": 0,
+                            }
+                        ],
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    pages_sim = pd.concat(
+        [
+            pages_pd,
+            pd.DataFrame(
+                [
+                    {
+                        "url": "http://localhost:9090/robots.txt",
+                        "host": "localhost",
+                        "status": 200,
+                        "location": None,
+                        "doc_id": rb_doc,
+                        "content_type": "text/plain",
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    cfg = test_config(seed_url_seen=True, max_waves=14, fetch_robots=True)
+    seeds = ["http://localhost:9090/crawl/1"]
+
+    sim = Crawl(spark, str(tmp_path / "wh_sim_rb"), cfg)
+    sim.init(seeds, synth.pages_df(spark, pages_sim), synth.documents_df(spark, docs_sim))
+    sim.run(quiet=True)
+
+    real = Crawl(
+        spark,
+        str(tmp_path / "wh_http_rb"),
+        cfg,
+        fetcher=fetchhttp.http_fetcher(resolve=live_server, timeout_s=5.0),
+    )
+    real.init(
+        seeds, synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd)
+    )
+    real.run(quiet=True)
+
+    def fetched_urls(c):
+        return {
+            r["url"] for r in c._read("fetched").where(F.col("status") == 200).collect()
+        }
+
+    want = {f"http://localhost:9090/crawl/{k}" for k in range(1, 5)}
+    assert fetched_urls(sim) == want
+    assert fetched_urls(real) == want
+
+    # the wire-fetched rules parse to the same compiled rule set
+    from crawler.robots import py_parse_rules
+
+    want_rules = py_parse_rules(ROBOTS_BODY, cfg.user_agent)
+    got = {
+        r["host"]: [
+            (x["allow"], x["pattern"], x["wild"], x["re"]) for x in r["rules"]
+        ]
+        for r in real._read("robots_cache").collect()
+    }
+    assert got["localhost"] == want_rules
