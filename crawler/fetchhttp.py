@@ -131,13 +131,18 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 
 
 def _read_capped(fp, cap: int) -> bytes:
+    """Stream at most `cap` bytes from a response body; the connection
+    is dropped past the cap (no full-materialize of an adversarial
+    body).  Oversized bodies are truncated at the cap — a 16 MB prefix
+    of an HTML page still yields its links; refetching more would spend
+    politeness budget on a page that is overwhelmingly not HTML."""
     out = bytearray()
-    while len(out) <= cap:
-        chunk = fp.read(1 << 16)
+    while len(out) < cap:
+        chunk = fp.read(min(1 << 16, cap - len(out)))
         if not chunk:
             break
         out += chunk
-    return bytes(out[: cap + 1])  # +1 so "over cap" is detectable upstream
+    return bytes(out)
 
 
 def _rewrite_netloc(url: str, resolve: dict[str, str] | None) -> tuple[str, str]:
@@ -195,7 +200,6 @@ def _fetch_one(
     except (urllib.error.URLError, socket.timeout, ConnectionError, OSError):
         status = 0  # connection failure — same sentinel as fetchsim
 
-    body = body[:max_bytes]
     # bounded content decode (shared chain with the pluggable decode
     # stage): on success the Content-Encoding header is consumed
     enc = next(
