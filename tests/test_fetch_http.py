@@ -18,7 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawler import fetchhttp, synth
-from crawler.config import test_config
+from crawler.config import test_config as make_config
 from crawler.loop import Crawl
 
 
@@ -195,7 +195,7 @@ def test_http_crawl_matches_fetchsim(spark, live_server, tmp_path):
     pages_pd, docs_pd = synth.test_server_fixture()
     pages = synth.pages_df(spark, pages_pd)
     docs = synth.documents_df(spark, docs_pd)
-    cfg = test_config(seed_url_seen=True, max_waves=14)
+    cfg = make_config(seed_url_seen=True, max_waves=14)
     seeds = ["http://localhost:9090/crawl/1"]
 
     sim = Crawl(spark, str(tmp_path / "wh_sim"), cfg)
@@ -286,7 +286,7 @@ def test_http_robots_over_the_wire(spark, live_server, tmp_path):
         ],
         ignore_index=True,
     )
-    cfg = test_config(seed_url_seen=True, max_waves=14, fetch_robots=True)
+    cfg = make_config(seed_url_seen=True, max_waves=14, fetch_robots=True)
     seeds = ["http://localhost:9090/crawl/1"]
 
     sim = Crawl(spark, str(tmp_path / "wh_sim_rb"), cfg)
