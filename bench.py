@@ -28,15 +28,18 @@ def _now() -> float:
     return time.perf_counter()
 
 
-def _cpu_sample() -> tuple[int, int, int] | None:
-    """(busy, steal, total) jiffies from the aggregate /proc/stat line.
+def _cpu_sample() -> tuple[int, int, int, int] | None:
+    """(user, sys, steal, total) jiffies from the aggregate /proc/stat
+    line.
 
-    Used to annotate each timed rep with how much hypervisor steal and
-    how much real CPU the host delivered during the window — round-2's
-    driver-vs-ledger throughput discrepancy (71.7k vs 306k URLs/s for
-    identical code+config) was unadjudicable because the artifact
-    carried no evidence of host health.  Now every rep is self-evidently
-    clean or stolen."""
+    Used to annotate each timed rep with how much real CPU the host
+    delivered during the window — round-2's driver-vs-ledger throughput
+    discrepancy (71.7k vs 306k URLs/s for identical code+config) was
+    unadjudicable because the artifact carried no evidence of host
+    health.  USER and SYSTEM are reported separately: this host's
+    degraded mode under wide load often shows as kernel-time inflation
+    (60-76% system, ~0-2% user, low steal — vmstat evidence in
+    PLANS.md), which a combined busy% would misread as a healthy run."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
@@ -44,19 +47,23 @@ def _cpu_sample() -> tuple[int, int, int] | None:
     except (OSError, ValueError, IndexError):
         return None
     user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 10)[:8]
-    busy = user + nice + system + irq + softirq
-    total = busy + idle + iowait + steal
-    return busy, steal, total
+    usr = user + nice
+    sys_ = system + irq + softirq
+    total = usr + sys_ + idle + iowait + steal
+    return usr, sys_, steal, total
 
 
 def _cpu_delta(before, after) -> dict | None:
     if before is None or after is None:
         return None
-    busy = after[0] - before[0]
-    steal = after[1] - before[1]
-    total = max(1, after[2] - before[2])
+    usr = after[0] - before[0]
+    sys_ = after[1] - before[1]
+    steal = after[2] - before[2]
+    total = max(1, after[3] - before[3])
     return {
-        "busy_pct": round(100.0 * busy / total, 1),
+        "busy_pct": round(100.0 * (usr + sys_) / total, 1),
+        "user_pct": round(100.0 * usr / total, 1),
+        "sys_pct": round(100.0 * sys_ / total, 1),
         "steal_pct": round(100.0 * steal / total, 1),
     }
 

@@ -12,9 +12,14 @@ Execution shape (the 100 TB story):
 
 - The scheduled batch is repartitioned by ``tpd`` so every host's
   requests land in ONE task; inside the task a thread pool runs hosts
-  concurrently while each host's requests run sequentially, spaced
+  concurrently while each host's requests run sequentially in the
+  scheduler's ``(fetch_ms, seq)`` clock order, spaced
   ``per_host_delay_ms`` apart — the per-host pacing layer the reference
-  enforces in RabbitThrottler, re-enforced at the socket.
+  enforces in RabbitThrottler, re-enforced at the socket.  Input Arrow
+  batches are buffered before grouping (a host split across two batches
+  would restart its pacing clock), and hosts are submitted through a
+  sliding window (~2x the pool) with chunked yields, so completed
+  response bodies never pile up unbounded inside a wide task.
 - Network I/O is inherently per-request: this is the documented
   exception to the no-per-row-Python rule (BASELINE.json input_hint).
   Threads overlap request latency; Arrow bounds JVM crossings to one
@@ -41,12 +46,13 @@ adjacent text spans), which is invariant across fetchsim/fetchhttp.
 
 from __future__ import annotations
 
+import itertools
 import re
 import socket
 import time
 import urllib.error
 import urllib.request
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from typing import Iterator
 
 import pandas as pd
@@ -296,20 +302,48 @@ def http_fetcher(
                     )
                 return out
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                rows = pdf.to_dict("records")
-                by_host: dict[str, list[dict]] = {}
-                for r in rows:
-                    by_host.setdefault(r["host"], []).append(r)
-                with ThreadPoolExecutor(max_workers=host_threads) as pool:
-                    results = [
-                        row
-                        for host_rows in pool.map(fetch_host, by_host.values())
-                        for row in host_rows
-                    ]
-                yield pd.DataFrame(results)
+            # buffer the task's request rows up-front (requests are a few
+            # hundred bytes — bodies are outputs, not inputs): Arrow may
+            # split one partition into several input batches, and a host
+            # split across two batches would restart its pacing clock
+            pdfs = [pdf for pdf in batches if not pdf.empty]
+            if not pdfs:
+                return
+            rows = (
+                pd.concat(pdfs, ignore_index=True)
+                # wire order within a host = the scheduler's clock, not
+                # Arrow arrival order (the pacing claim is per that clock)
+                .sort_values(["fetch_ms", "seq"], kind="stable")
+                .to_dict("records")
+            )
+            by_host: dict[str, list[dict]] = {}
+            for r in rows:
+                by_host.setdefault(r["host"], []).append(r)
+
+            # sliding submission window + chunked yields: completed
+            # response bodies never accumulate past ~2x the thread pool
+            # (pool.map would submit every host up-front and buffer all
+            # finished bodies until consumed — unbounded on a wide task)
+            host_iter = iter(by_host.values())
+            window = max(1, host_threads) * 2
+            buf: list[dict] = []
+            with ThreadPoolExecutor(max_workers=host_threads) as pool:
+                pending = {
+                    pool.submit(fetch_host, hr)
+                    for hr in itertools.islice(host_iter, window)
+                }
+                while pending:
+                    done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                    for fut in done:
+                        buf.extend(fut.result())
+                        nxt = next(host_iter, None)
+                        if nxt is not None:
+                            pending.add(pool.submit(fetch_host, nxt))
+                    if len(buf) >= 256:
+                        yield pd.DataFrame(buf)
+                        buf = []
+            if buf:
+                yield pd.DataFrame(buf)
 
         return (
             scheduled.select(*cols)

@@ -324,3 +324,62 @@ def test_http_robots_over_the_wire(spark, live_server, tmp_path):
         for r in real._read("robots_cache").collect()
     }
     assert got["localhost"] == want_rules
+
+
+def test_within_host_wire_order_follows_scheduler_clock(spark):
+    """Requests to ONE host go over the wire in the scheduler's
+    (fetch_ms, seq) clock order, not DataFrame row order — the pacing
+    layer's sequencing claim (crawler/fetchhttp.py run_batches sorts the
+    buffered task rows before grouping by host)."""
+    seen: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.append(self.path)
+            body = b"OK!"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        n = 12
+        # row i carries fetch_ms = (n-1-i)*10: row order is the exact
+        # REVERSE of the schedule clock
+        rows = [
+            (
+                f"http://localhost:9090/p/{i}",
+                f"http://localhost:9090/p/{i}",
+                "localhost:9090",
+                "localhost",
+                (n - 1 - i) * 10,
+                i,
+                "GET",
+                [f"http://localhost:9090/p/{i}"],
+                None,
+                None,
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, url_canon string, host string, tpd string,"
+            " fetch_ms long, seq long, method string,"
+            " provenance array<string>,"
+            " req_headers array<struct<name:string,value:string>>,"
+            " req_entity binary",
+        )
+        fetch = fetchhttp.http_fetcher(
+            resolve={"localhost:9090": f"127.0.0.1:{srv.server_address[1]}"},
+            timeout_s=5.0,
+        )
+        assert fetch(df).count() == n
+        assert seen == [f"/p/{i}" for i in reversed(range(n))]
+    finally:
+        srv.shutdown()
