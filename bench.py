@@ -68,7 +68,7 @@ def _cpu_delta(before, after) -> dict | None:
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     import __spark_entry__ as entrymod
 
     # untimed warm-up: JVM codegen + parquet footer/metadata caches —

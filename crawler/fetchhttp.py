@@ -10,14 +10,18 @@ swaps it in without touching any other stage.
 
 Execution shape (the 100 TB story):
 
-- The scheduled batch is repartitioned by ``tpd`` so every host's
-  requests land in ONE task; inside the task a thread pool runs hosts
-  concurrently while each host's requests run sequentially in the
-  scheduler's ``(fetch_ms, seq)`` clock order, spaced
-  ``per_host_delay_ms`` apart — the per-host pacing layer the reference
-  enforces in RabbitThrottler, re-enforced at the socket.  Input Arrow
-  batches are buffered before grouping (a host split across two batches
-  would restart its pacing clock), and hosts are submitted through a
+- The scheduled batch is repartitioned by ``tpd`` so every politeness
+  domain's requests land in ONE task; inside the task a thread pool
+  runs TPDs concurrently while each TPD's requests run sequentially in
+  the scheduler's ``(fetch_ms, seq)`` clock order — sibling hosts of
+  one registrable domain never fetch concurrently, because the
+  politeness contract (and the scheduler's tick clock) is per TPD.
+  Consecutive requests are paced by the schedule's own ``fetch_ms``
+  gaps (net of time already spent fetching), floored by
+  ``per_host_delay_ms`` — the pacing layer the reference enforces in
+  RabbitThrottler, re-enforced at the socket.  Input Arrow batches are
+  buffered before grouping (a TPD split across two batches would
+  restart its pacing clock), and TPD groups are submitted through a
   sliding window (~2x the pool) with chunked yields, so completed
   response bodies never pile up unbounded inside a wide task.
 - Network I/O is inherently per-request: this is the documented
@@ -46,6 +50,7 @@ adjacent text spans), which is invariant across fetchsim/fetchhttp.
 
 from __future__ import annotations
 
+import http.client
 import itertools
 import re
 import socket
@@ -59,7 +64,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from . import fetchsim, schemas
-from .extract import _ATTR_RE
+from .extract import _ATTR_RE, _STRIP_SCALAR_RE
 
 #: response-body cap (streamed: at most this many bytes are ever read
 #: per response, before decode; decode is separately capped by
@@ -89,9 +94,16 @@ def spans_from_html(body: str) -> list[dict]:
     """Explode an HTML body into ordered interleaved text/media spans
     (the input_hint span model).  <img src> boundaries become media
     spans; everything between is one text span.  An <img> without a src
-    value stays inline in the surrounding text (it references nothing)."""
+    value stays inline in the surrounding text (it references nothing),
+    and an <img> inside a dead region (comment / script / style /
+    textarea — the same regions extract.py strips before href matching)
+    is NOT a media boundary: a DOM tokenizer never sees it as an
+    element, so it stays raw text instead of feeding a phantom
+    media_ref downstream."""
     spans: list[dict] = []
     pos = 0
+    dead = [(m.start(), m.end()) for m in _STRIP_SCALAR_RE.finditer(body)]
+    di = 0
 
     def _text(t: str) -> None:
         if t:
@@ -100,6 +112,10 @@ def spans_from_html(body: str) -> list[dict]:
             )
 
     for m in _IMG_TAG_RE.finditer(body):
+        while di < len(dead) and dead[di][1] <= m.start():
+            di += 1
+        if di < len(dead) and dead[di][0] <= m.start() < dead[di][1]:
+            continue  # commented-out / scripted img: raw text, not media
         src = _attr_of(m.group(1), "src")
         if not src:
             continue  # stays part of the surrounding text run
@@ -144,7 +160,13 @@ def _read_capped(fp, cap: int) -> bytes:
     politeness budget on a page that is overwhelmingly not HTML."""
     out = bytearray()
     while len(out) < cap:
-        chunk = fp.read(min(1 << 16, cap - len(out)))
+        try:
+            chunk = fp.read(min(1 << 16, cap - len(out)))
+        except http.client.IncompleteRead as e:
+            # server closed mid-body (short Content-Length / truncated
+            # chunked coding): keep the prefix — same policy as the cap
+            out += e.partial
+            break
         if not chunk:
             break
         out += chunk
@@ -201,9 +223,19 @@ def _fetch_one(
         headers = [{"name": k, "value": v} for k, v in e.headers.items()]
         try:
             body = _read_capped(e, max_bytes)
-        except OSError:
+        except (OSError, http.client.HTTPException):
             body = b""
-    except (urllib.error.URLError, socket.timeout, ConnectionError, OSError):
+    except (
+        urllib.error.URLError,
+        socket.timeout,
+        ConnectionError,
+        OSError,
+        # malformed responses (IncompleteRead, BadStatusLine, LineTooLong,
+        # truncated chunked bodies): one broken server must yield a
+        # status-0 row, never crash the task and abort the wave
+        http.client.HTTPException,
+        ValueError,  # e.g. unparsable port / invalid characters in a URL
+    ):
         status = 0  # connection failure — same sentinel as fetchsim
 
     # bounded content decode (shared chain with the pluggable decode
@@ -288,11 +320,24 @@ def http_fetcher(
         def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             opener = urllib.request.build_opener(_NoRedirect)
 
-            def fetch_host(rows: list[dict]) -> list[dict]:
+            def fetch_tpd(rows: list[dict]) -> list[dict]:
+                """One politeness domain, strictly sequential: pace each
+                request to the scheduler's fetch_ms gap (net of time the
+                previous fetch already consumed), floored by
+                per_host_delay_ms."""
                 out = []
-                for i, r in enumerate(rows):  # sequential within a host
-                    if i and per_host_delay_ms:
-                        time.sleep(per_host_delay_ms / 1000.0)
+                prev_ms: int | None = None
+                prev_t = 0.0
+                for r in rows:
+                    if out:
+                        gap_ms = float(per_host_delay_ms)
+                        if prev_ms is not None and r.get("fetch_ms") is not None:
+                            gap_ms = max(gap_ms, float(r["fetch_ms"] - prev_ms))
+                        wait_s = gap_ms / 1000.0 - (time.monotonic() - prev_t)
+                        if wait_s > 0:
+                            time.sleep(wait_s)
+                    prev_ms = r.get("fetch_ms")
+                    prev_t = time.monotonic()
                     out.append(
                         _fetch_one(
                             r, opener,
@@ -316,29 +361,32 @@ def http_fetcher(
                 .sort_values(["fetch_ms", "seq"], kind="stable")
                 .to_dict("records")
             )
-            by_host: dict[str, list[dict]] = {}
+            # sequencing unit = TPD (the politeness domain): sibling
+            # hosts of one registrable domain share the scheduler's tick
+            # clock and must not fetch concurrently
+            by_tpd: dict[str, list[dict]] = {}
             for r in rows:
-                by_host.setdefault(r["host"], []).append(r)
+                by_tpd.setdefault(r["tpd"], []).append(r)
 
             # sliding submission window + chunked yields: completed
             # response bodies never accumulate past ~2x the thread pool
-            # (pool.map would submit every host up-front and buffer all
+            # (pool.map would submit every group up-front and buffer all
             # finished bodies until consumed — unbounded on a wide task)
-            host_iter = iter(by_host.values())
+            tpd_iter = iter(by_tpd.values())
             window = max(1, host_threads) * 2
             buf: list[dict] = []
             with ThreadPoolExecutor(max_workers=host_threads) as pool:
                 pending = {
-                    pool.submit(fetch_host, hr)
-                    for hr in itertools.islice(host_iter, window)
+                    pool.submit(fetch_tpd, grp)
+                    for grp in itertools.islice(tpd_iter, window)
                 }
                 while pending:
                     done, pending = wait(pending, return_when=FIRST_COMPLETED)
                     for fut in done:
                         buf.extend(fut.result())
-                        nxt = next(host_iter, None)
+                        nxt = next(tpd_iter, None)
                         if nxt is not None:
-                            pending.add(pool.submit(fetch_host, nxt))
+                            pending.add(pool.submit(fetch_tpd, nxt))
                     if len(buf) >= 256:
                         yield pd.DataFrame(buf)
                         buf = []

@@ -70,19 +70,42 @@ class Oracle:
         self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
         self.robots = dict(robots or {})
 
-    def _fetch_robots(self, host: str) -> list[tuple[bool, str, bool, str]]:
-        """Mirror of robots.refresh_robots: 2xx robots page → compiled
-        RFC-9309 rules of our UA's group; anything else → negative
-        cache ([])."""
+    def _fetch_robots(
+        self, host: str, any_url: str | None = None
+    ) -> list[tuple[bool, str, bool, str]]:
+        """Mirror of robots.refresh_robots: bounded redirect chase, then
+        the RFC 9309 classification — 2xx parses our UA group's rules,
+        UNREACHABLE (status ≤0 / 5xx) caches complete-disallow,
+        everything else (4xx, missing page, a chain still redirecting
+        past the budget) caches allow-all ([]).  The robots URL is
+        derived from a representative pending URL's AUTHORITY
+        (scheme://host[:port]) exactly like robots._robots_requests —
+        the bare politeness host would ask the wrong origin on a
+        port-bearing or https-only surface."""
+        import re as _re
+
         from . import robots as robots_mod
 
-        page = self.pages.get(f"http://{host}/robots.txt")
-        if page is None or not (200 <= page[0] < 300):
-            return []
-        doc_id = page[2]
-        spans = self.docs.get(doc_id, []) if doc_id else []
-        text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
-        return robots_mod.py_parse_rules(text, self.cfg.user_agent)
+        m = _re.match(r"^(https?://[^/]+)", any_url or "")
+        origin = m.group(1) if m else f"http://{host}"
+        url = f"{origin}/robots.txt"
+        page = self.pages.get(url)
+        for _ in range(5):  # same budget as robots._follow_redirects
+            if page is None or not (300 <= page[0] < 400) or not page[1]:
+                break
+            url = robots_mod.py_resolve_redirect(url, page[1])
+            page = self.pages.get(url)
+        if page is None:
+            return []  # unavailable → allow-all
+        status = page[0]
+        if 200 <= status < 300:
+            doc_id = page[2]
+            spans = self.docs.get(doc_id, []) if doc_id else []
+            text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+            return robots_mod.py_parse_rules(text, self.cfg.user_agent)
+        if status <= 0 or status >= 500:
+            return list(robots_mod.DISALLOW_ALL_PY)  # unreachable → disallow
+        return []  # 4xx / residual 3xx → allow-all
 
     def run(self, seeds: list[str]) -> OracleResult:
         cfg = self.cfg
@@ -111,10 +134,18 @@ class Oracle:
             fetch_log: list[tuple[int, ORow]] = []  # (fetch_ms, row)
 
             if cfg.fetch_robots:
+                # engine mirror: one fetch per uncached host, robots URL
+                # from the lexicographically-min pending URL's authority
+                # (robots._robots_requests uses min("url") per host)
+                min_url: dict[str, str] = {}
                 for rows in queues.values():
                     for r in rows:
                         if r.host not in self.robots:
-                            self.robots[r.host] = self._fetch_robots(r.host)
+                            cur = min_url.get(r.host)
+                            if cur is None or r.url < cur:
+                                min_url[r.host] = r.url
+                for host, u in min_url.items():
+                    self.robots[host] = self._fetch_robots(host, u)
 
             for tpd in sorted(queues):  # per-host independence; sort = determinism
                 rows = queues[tpd]

@@ -14,12 +14,16 @@ Semantics implemented (RFC 9309 / the behavior of Google's open-source
 parser), all evaluated JVM-side:
 
 * **User-agent groups** — consecutive ``User-agent:`` lines name a
-  group; the group whose UA token most specifically matches ours wins
-  (longest matching token; ``*`` matches everything at the lowest
-  specificity).  All groups at the winning specificity merge.  A
-  matching group with no rules means allow-all (a less-specific group
-  is NOT consulted).  Lenient extension: rules before any
-  ``User-agent`` line belong to an implicit ``*`` group.
+  group; a line matches when its token is a case-insensitive PREFIX of
+  our PRODUCT TOKEN (the leading letters/hyphens/underscores of the
+  configured UA string — RFC 9309 §2.2.1), so ``googlebot`` applies to
+  a ``googlebot-news`` crawler but ``crawler`` does NOT capture
+  ``sparkcrawler``; ``*`` matches everything at the lowest specificity.
+  The most specific (longest) matching token wins; all groups at the
+  winning specificity merge.  A matching group with no rules means
+  allow-all (a less-specific group is NOT consulted).  Lenient
+  extension: rules before any ``User-agent`` line belong to an
+  implicit ``*`` group.
 * **Allow + Disallow, longest-match precedence** — the rule whose
   pattern is longest wins among all matching rules; on a length tie,
   ``Allow`` wins.  An empty ``Disallow:`` / ``Allow:`` value is a
@@ -82,13 +86,27 @@ def _kv_expr(text_col: Column) -> Column:
     )
 
 
+def _product_token(user_agent: str) -> str:
+    """Our crawler's PRODUCT TOKEN (RFC 9309 §2.2.1): the leading run of
+    letters/hyphens/underscores of the configured UA string, lowercased
+    ('sparkcrawler/1.0 (+info)' → 'sparkcrawler')."""
+    m = _re.match(r"[A-Za-z_-]+", user_agent or "")
+    return (m.group(0) if m else (user_agent or "")).lower()
+
+
 def _spec_expr(v: Column, user_agent: str) -> Column:
-    """UA-token match specificity: 0 = no match, 1 = '*', 10+len for a
-    token that occurs in our UA (longer token = more specific)."""
+    """UA-line match specificity: 0 = no match, 1 = '*', 10+len when the
+    line's token is a case-insensitive PREFIX of our product token
+    (longer = more specific).  Prefix-of-token, not substring-of-UA:
+    'User-agent: crawler' written for a bot named Crawler must NOT
+    capture a crawler whose token is 'sparkcrawler', while the layered
+    matching real crawlers document ('googlebot' applies to
+    'googlebot-news') still works."""
+    token = _product_token(user_agent)
     return (
         F.when(v == "", F.lit(0))
         .when(v == "*", F.lit(1))
-        .when(F.lit(user_agent.lower()).contains(F.lower(v)), F.length(v) + 10)
+        .when(F.lit(token).startswith(F.lower(v)), F.length(v) + 10)
         .otherwise(F.lit(0))
     )
 
@@ -249,6 +267,89 @@ def _robots_requests(pending: DataFrame, robots_cache: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_redirect_expr(url: Column, loc: Column) -> Column:
+    """Resolve a Location header against the redirecting robots URL:
+    absolute passes through, root-relative joins the origin, other
+    relatives resolve against '/' (robots.txt always sits at the
+    root, so its base directory IS the origin)."""
+    origin = F.regexp_extract(url, r"^(https?://[^/]+)", 1)
+    t = F.trim(loc)
+    return (
+        F.when(t.rlike("(?i)^https?://"), t)
+        .when(t.startswith("/"), F.concat(origin, t))
+        .otherwise(F.concat(origin, F.lit("/"), t))
+    )
+
+
+def _follow_redirects(cur: DataFrame, refetch, max_redirects: int = 5) -> DataFrame:
+    """Bounded robots.txt redirect chase (RFC 9309 §2.3.1.2: follow at
+    least five consecutive redirects).  `cur` holds one fetched row per
+    host with columns (host, tpd, url, status, spans, location); rows
+    with 3xx + Location are re-fetched at the resolved target via
+    `refetch(host, tpd, url)`; a chain still redirecting after the
+    budget stays 3xx (the classifier maps residual 3xx to 'unavailable'
+    = allow-all, §2.3.1.3).  Each hop materializes the redirect subset,
+    so the common no-redirect case costs one count over ~0 rows; the
+    final union is localCheckpoint'ed so robots are fetched exactly
+    once and the intermediates can be unpersisted."""
+    redir = F.col("status").between(300, 399) & F.col("location").isNotNull()
+    persisted: list[DataFrame] = []
+    terminal: list[DataFrame] = []
+    for _ in range(max_redirects):
+        cur = cur.persist()
+        persisted.append(cur)
+        n = cur.where(redir).count()
+        terminal.append(cur.where(~redir))
+        if n == 0:
+            cur = None
+            break
+        cur = refetch(
+            cur.where(redir).select(
+                "host",
+                "tpd",
+                _resolve_redirect_expr(F.col("url"), F.col("location")).alias(
+                    "url"
+                ),
+            )
+        )
+    out = terminal[0]
+    for t in terminal[1:]:
+        out = out.unionByName(t)
+    if cur is not None:  # budget exhausted: residual rows, whatever state
+        out = out.unionByName(cur)
+    out = out.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
+    return out
+
+
+def _rules_from_fetched(fetched: DataFrame, user_agent: str, wave: int) -> DataFrame:
+    """Terminal robots responses → ROBOTS_CACHE rows (RFC 9309 §2.3.1):
+    2xx parses the matching group's rules; UNREACHABLE (connection
+    failure / 5xx) caches complete-disallow — a transiently-down host
+    must not be crawled unchecked; everything else (4xx 'unavailable',
+    a redirect chain that never terminated, a missing sim page) caches
+    allow-all."""
+    ok = F.col("status").between(200, 299)
+    unreachable = (F.col("status") <= 0) | (F.col("status") >= 500)
+    disallow_all = F.array(
+        F.struct(
+            F.lit(False).alias("allow"),
+            F.lit("/").alias("pattern"),
+            F.lit(False).alias("wild"),
+            F.lit("^/").alias("re"),
+        )
+    ).cast(RULES_TYPE)
+    rules = F.when(
+        ok, parse_rules_expr(robots_text_expr(F.col("spans")), user_agent)
+    ).when(unreachable, disallow_all)
+    return fetched.select(
+        F.col("host"),
+        F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
+        F.lit(wave).cast("int").alias("fetched_wave"),
+    )
+
+
 def refresh_robots(
     pending: DataFrame,
     robots_cache: DataFrame,
@@ -256,28 +357,35 @@ def refresh_robots(
     documents: DataFrame,
     wave: int,
     user_agent: str = "*",
+    max_redirects: int = 5,
 ) -> DataFrame:
     """New ROBOTS_CACHE rows for hosts with pending rows but no cache
-    entry.  One anti-join on host (distinct hosts, tiny) + one fetch-sim
-    join against the web."""
-    req = _robots_requests(pending, robots_cache).select(
-        "host", F.col("_rurl")
+    entry.  One anti-join on host (distinct hosts, tiny) + fetch-sim
+    joins against the web (redirect hops re-join the same web view)."""
+    web = pages.join(documents, on="doc_id", how="left").select(
+        F.col("url").alias("_w_url"),
+        F.col("status").alias("_w_status"),
+        F.col("location").alias("_w_location"),
+        F.col("spans").alias("_w_spans"),
     )
 
-    web = pages.join(documents, on="doc_id", how="left").select(
-        F.col("url").alias("_rurl"),
-        F.col("status").alias("_status"),
-        F.col("spans").alias("_spans"),
+    def refetch(req: DataFrame) -> DataFrame:
+        return req.join(web, req["url"] == web["_w_url"], "left").select(
+            "host",
+            "tpd",
+            "url",
+            F.col("_w_status").alias("status"),
+            F.col("_w_spans").alias("spans"),
+            F.col("_w_location").alias("location"),
+        )
+
+    first = refetch(
+        _robots_requests(pending, robots_cache).select(
+            "host", "tpd", F.col("_rurl").alias("url")
+        )
     )
-    j = req.join(web, on="_rurl", how="left")
-    ok = F.col("_status").isNotNull() & F.col("_status").between(200, 299)
-    rules = F.when(
-        ok, parse_rules_expr(robots_text_expr(F.col("_spans")), user_agent)
-    )
-    return j.select(
-        F.col("host"),
-        F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
-        F.lit(wave).cast("int").alias("fetched_wave"),
+    return _rules_from_fetched(
+        _follow_redirects(first, refetch, max_redirects), user_agent, wave
     )
 
 
@@ -287,53 +395,74 @@ def refresh_robots_via(
     wave: int,
     user_agent: str,
     fetch_fn,
+    max_redirects: int = 5,
 ) -> DataFrame:
     """refresh_robots through the pluggable O5 fetcher: when a real
     fetcher is installed (loop.Crawl(fetcher=...)), robots.txt is
     fetched over the actual network instead of the fixture join — same
-    anti-join discovery, same parse, same output rows.  Non-2xx (404,
-    connection failure) caches an empty rule set, like the sim path."""
-    sched = _robots_requests(pending, robots_cache).select(
-        F.col("_rurl").alias("url"),
-        F.col("_rurl").alias("url_canon"),
-        "host",
-        "tpd",
-        F.lit(0).cast("long").alias("fetch_ms"),
-        F.lit(0).cast("long").alias("seq"),
-        F.lit("GET").alias("method"),
-        F.array(F.col("_rurl")).alias("provenance"),
-        F.lit(None)
-        .cast("array<struct<name:string,value:string>>")
-        .alias("req_headers"),
-        F.lit(None).cast("binary").alias("req_entity"),
+    anti-join discovery, same redirect chase, same RFC classification
+    (2xx parse / unreachable disallow-all / unavailable allow-all)."""
+
+    def refetch(req: DataFrame) -> DataFrame:
+        sched = req.select(
+            "url",
+            F.col("url").alias("url_canon"),
+            "host",
+            "tpd",
+            F.lit(0).cast("long").alias("fetch_ms"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("GET").alias("method"),
+            F.array(F.col("url")).alias("provenance"),
+            F.lit(None)
+            .cast("array<struct<name:string,value:string>>")
+            .alias("req_headers"),
+            F.lit(None).cast("binary").alias("req_entity"),
+        )
+        return fetch_fn(sched, None, None).select(
+            "host", "tpd", "url", "status", "spans", "location"
+        )
+
+    first = refetch(
+        _robots_requests(pending, robots_cache).select(
+            "host", "tpd", F.col("_rurl").alias("url")
+        )
     )
-    fetched = fetch_fn(sched, None, None)
-    ok = F.col("status").between(200, 299)
-    rules = F.when(
-        ok, parse_rules_expr(robots_text_expr(F.col("spans")), user_agent)
-    )
-    return fetched.select(
-        F.col("host"),
-        F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
-        F.lit(wave).cast("int").alias("fetched_wave"),
+    return _rules_from_fetched(
+        _follow_redirects(first, refetch, max_redirects), user_agent, wave
     )
 
 
 # scalar twin for the oracle ---------------------------------------------
 
 
+#: scalar twin of the classifier's complete-disallow rule set
+DISALLOW_ALL_PY = [(False, "/", False, "^/")]
+
+
+def py_resolve_redirect(url: str, loc: str) -> str:
+    """Twin of _resolve_redirect_expr."""
+    m = _re.match(r"^(https?://[^/]+)", url)
+    origin = m.group(1) if m else ""
+    t = (loc or "").strip()
+    if _re.match(r"(?i)^https?://", t):
+        return t
+    if t.startswith("/"):
+        return origin + t
+    return origin + "/" + t
+
+
 def py_parse_rules(
     text: str, user_agent: str = "*"
 ) -> list[tuple[bool, str, bool, str]]:
     """Single-doc twin of parse_rules_expr: [(allow, pattern, wild, re)]."""
-    ua = user_agent.lower()
+    token = _product_token(user_agent)
 
     def spec(v: str) -> int:
         if not v:
             return 0
         if v == "*":
             return 1
-        return len(v) + 10 if v.lower() in ua else 0
+        return len(v) + 10 if token.startswith(v.lower()) else 0
 
     kv: list[tuple[str, str]] = []
     for ln in _re.split(r"\r?\n", text or ""):
@@ -373,7 +502,12 @@ def py_match_target(url: str) -> str:
     """Twin of match_target_expr."""
     parts = urlsplit(url)
     path = parts.path or "/"
-    return path + ("?" + parts.query if parts.query else "")
+    if parts.query:
+        return path + "?" + parts.query
+    # bare trailing '?' (present but empty query): java parse_url
+    # returns '' — not NULL — so the engine target keeps the '?';
+    # urlsplit collapses both cases to query='' and must re-check
+    return path + "?" if "?" in url.split("#", 1)[0] else path
 
 
 def py_blocked(rules, target: str) -> bool:

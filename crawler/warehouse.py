@@ -89,9 +89,20 @@ class Table:
 
     def latest_version(self) -> int:
         """Highest staged version (0 = empty table). The *committed*
-        version is whatever the Catalog says — staging past it is safe."""
+        version is whatever the Catalog says — staging past it is safe.
+
+        Only published ``v{N}.json`` manifests count: a concurrent
+        stager's in-flight ``v{N}.json.tmp.<hex>`` claim file (or one
+        orphaned by a kill between write and link) must not be taken
+        for a staged version — ``_manifest`` on it would raise, and the
+        claim-retry loop in ``_publish`` makes concurrent stagers a
+        supported, exercised scenario."""
         metas = os.listdir(os.path.join(self.root, "_meta"))
-        versions = [int(m[1:9]) for m in metas if m.startswith("v")]
+        versions = [
+            int(m[1:9])
+            for m in metas
+            if m.startswith("v") and m.endswith(".json") and m[1:9].isdigit()
+        ]
         return max(versions, default=0)
 
     def _manifest(self, version: int) -> dict:

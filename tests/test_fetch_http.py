@@ -383,3 +383,162 @@ def test_within_host_wire_order_follows_scheduler_clock(spark):
         assert seen == [f"/p/{i}" for i in reversed(range(n))]
     finally:
         srv.shutdown()
+
+
+def test_robots_via_follows_redirect_over_the_wire(spark):
+    """A 302 robots.txt is chased to its target through the real
+    fetcher; the parsed rules come from the redirect target."""
+    from crawler import robots, schemas
+
+    RULES_BODY = "User-agent: *\nDisallow: /x"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                self.send_response(302)
+                self.send_header("Location", "/rules.txt")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = RULES_BODY.encode() if self.path == "/rules.txt" else b"OK!"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        pending = spark.createDataFrame(
+            [("http://localhost:9090/a", "localhost:9090", "localhost")],
+            "url string, host string, tpd string",
+        )
+        cache = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+        fetcher = fetchhttp.http_fetcher(
+            resolve={"localhost:9090": f"127.0.0.1:{srv.server_address[1]}"},
+            timeout_s=5.0,
+        )
+        rows = robots.refresh_robots_via(
+            pending, cache, 0, "bot", fetcher
+        ).collect()
+        assert len(rows) == 1 and rows[0]["host"] == "localhost:9090"
+        got = [(x["allow"], x["pattern"]) for x in rows[0]["rules"]]
+        assert got == [(False, "/x")]
+        assert got == [
+            (a, p) for a, p, _, _ in robots.py_parse_rules(RULES_BODY, "bot")
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_malformed_server_yields_rows_not_task_failure(spark):
+    """One broken server must never crash the fetch task: a short body
+    (IncompleteRead) keeps its prefix; a garbage status line and an
+    immediate close yield status-0 rows; the healthy row is unaffected."""
+    import socketserver
+
+    class RawHandler(socketserver.StreamRequestHandler):
+        def handle(self):
+            line = self.rfile.readline().decode("latin1")
+            while True:  # drain request headers
+                if self.rfile.readline() in (b"\r\n", b"\n", b""):
+                    break
+            path = line.split(" ")[1] if " " in line else "/"
+            if path == "/short":
+                # Content-Length lies: 100 advertised, 10 sent
+                self.wfile.write(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: 100\r\n\r\nhello<a href"
+                )
+            elif path == "/garbage":
+                self.wfile.write(b"TOTALLY NOT HTTP\r\n\r\nwat")
+            elif path == "/ok":
+                body = b"<p>fine</p>"
+                self.wfile.write(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: %d\r\n\r\n%s" % (len(body), body)
+                )
+            # '/close' (and everything else): just close the connection
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), RawHandler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = "http://localhost:9090"
+        urls = [f"{base}/short", f"{base}/garbage", f"{base}/close", f"{base}/ok"]
+        fetch = fetchhttp.http_fetcher(
+            resolve={"localhost:9090": f"127.0.0.1:{srv.server_address[1]}"},
+            timeout_s=5.0,
+        )
+        out = {r["url"]: r for r in fetch(_scheduled_df(spark, urls)).collect()}
+        assert len(out) == 4  # every request produced a row — no task death
+        short = out[f"{base}/short"]
+        assert short["status"] == 200  # truncated body keeps its prefix
+        assert "hello" in "".join(s["text"] for s in short["spans"])
+        assert out[f"{base}/garbage"]["status"] == 0
+        assert out[f"{base}/close"]["status"] == 0
+        assert out[f"{base}/ok"]["status"] == 200
+    finally:
+        srv.shutdown()
+
+
+def test_same_tpd_hosts_sequenced_and_paced(spark):
+    """Sibling hosts of ONE registrable domain share the politeness
+    clock: their requests are strictly sequential in fetch_ms order
+    (never concurrent), and consecutive requests are paced by the
+    schedule's fetch_ms gaps."""
+    import time as _time
+
+    seen: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.append(self.headers.get("Host", "") + self.path)
+            body = b"OK!"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        addr = f"127.0.0.1:{srv.server_address[1]}"
+        # alternating sibling hosts, one shared tpd, 150 ms ticks
+        hosts = ["a.x.com", "b.x.com", "a.x.com", "b.x.com"]
+        rows = [
+            (
+                f"http://{h}/p/{i}", f"http://{h}/p/{i}", h, "x.com",
+                i * 150, i, "GET", [f"http://{h}/p/{i}"], None, None,
+            )
+            for i, h in enumerate(hosts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, url_canon string, host string, tpd string,"
+            " fetch_ms long, seq long, method string,"
+            " provenance array<string>,"
+            " req_headers array<struct<name:string,value:string>>,"
+            " req_entity binary",
+        )
+        fetch = fetchhttp.http_fetcher(
+            resolve={"a.x.com": addr, "b.x.com": addr}, timeout_s=5.0
+        )
+        t0 = _time.monotonic()
+        assert fetch(df).count() == 4
+        elapsed = _time.monotonic() - t0
+        # strict fetch_ms sequencing across sibling hosts of the tpd
+        assert seen == [f"{h}/p/{i}" for i, h in enumerate(hosts)]
+        # paced: three 150 ms gaps must be honored (sleep guarantees a
+        # lower bound; upper bound is host-dependent, not asserted)
+        assert elapsed >= 0.40, elapsed
+    finally:
+        srv.shutdown()

@@ -132,6 +132,34 @@ def test_rules_wildcards_and_anchor(spark):
     assert _jvm_blocked(spark, "Disallow: /", "bot", "http://h.com") is True
 
 
+def test_match_target_bare_query_twin_parity(spark):
+    """A trailing '?' with an EMPTY query: java parse_url returns ''
+    (non-null) so the engine target keeps the '?'; the scalar twin must
+    agree (urlsplit collapses '?'-present and '?'-absent to query='')."""
+    urls = [
+        "http://h.com/p?",      # bare '?'
+        "http://h.com/p",       # no query at all
+        "http://h.com/?",       # root with bare '?'
+        "http://h.com/p?a=1",   # real query
+        "http://h.com/p#x?y",   # '?' only in the fragment → not a query
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm = [
+        r["t"]
+        for r in df.select(robots.match_target_expr("url").alias("t")).collect()
+    ]
+    assert jvm == [robots.py_match_target(u) for u in urls]
+    assert jvm == ["/p?", "/p", "/?", "/p?a=1", "/p"]
+    # and the verdict edge cases: '/*?'-style and '$'-anchored rules split
+    # exactly on the presence of the bare '?'
+    txt = "User-agent: *\nDisallow: /*?\nAllow: /p$"
+    for url, want in [("http://h.com/p?", True), ("http://h.com/p", False)]:
+        assert _jvm_blocked(spark, txt, "bot", url) is want, url
+        assert robots.py_blocked(
+            robots.py_parse_rules(txt, "bot"), robots.py_match_target(url)
+        ) is want, url
+
+
 def test_robots_crawl_equivalence(spark, wh_root):
     """fetch_robots on: mega.com's /p/1 prefix is never fetched; engine ≡
     oracle under in-crawl robots fetching."""
@@ -420,3 +448,96 @@ def test_crawl_stats_windowed_watermark(spark, tmp_path):
     # exactly the two closed windows; the late 999-byte row did NOT
     # reopen/inflate [10s,20s), and the open [200s,210s) window is absent
     assert rows == {(10, 200): (2, 150), (20, 404): (1, 10)}
+
+
+def test_ua_product_token_prefix_matching(spark):
+    """UA-group matching is prefix-of-PRODUCT-TOKEN, not substring-of-UA:
+    a group written for a different bot whose name happens to occur
+    inside ours must not capture us, while the documented layered
+    matching ('googlebot' applies to 'googlebot-news') works."""
+    ua = "sparkcrawler/1.0 (+https://example.org/bot)"
+    txt = "User-agent: crawler\nDisallow: /other\n\nUser-agent: *\nDisallow: /star"
+    got = _jvm_rules(spark, txt, ua)
+    # 'crawler' is a substring of 'sparkcrawler' but NOT a prefix → '*'
+    assert [(a, p) for a, p, _, _ in got] == [(False, "/star")]
+    assert got == robots.py_parse_rules(txt, ua)
+
+    txt2 = "User-agent: googlebot\nDisallow: /g\n\nUser-agent: *\nDisallow: /s"
+    got2 = _jvm_rules(spark, txt2, "Googlebot-News")
+    assert [(a, p) for a, p, _, _ in got2] == [(False, "/g")]
+    assert got2 == robots.py_parse_rules(txt2, "Googlebot-News")
+
+    txt3 = (
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: googlebot-news\nDisallow: /n\n\n"
+        "User-agent: *\nDisallow: /s"
+    )
+    got3 = _jvm_rules(spark, txt3, "googlebot-news/2.1")
+    assert [(a, p) for a, p, _, _ in got3] == [(False, "/n")]
+    assert got3 == robots.py_parse_rules(txt3, "googlebot-news/2.1")
+
+
+def _span(text):
+    return [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+
+
+def test_robots_redirects_and_error_classification(spark):
+    """RFC 9309 §2.3.1: a 3xx robots.txt is followed (bounded hops);
+    UNREACHABLE (5xx / connection failure) caches complete-disallow;
+    4xx and a never-terminating redirect chain cache allow-all.
+    Engine (sim join path) ≡ oracle scalar mirror."""
+    import pandas as pd
+
+    from crawler import schemas
+    from crawler.config import CrawlConfig
+
+    pages_pd = pd.DataFrame(
+        [
+            # a.com: robots 301 → root-relative /real.txt → 200 with rules
+            ("http://a.com/robots.txt", "a.com", 301, "/real.txt", None, None),
+            ("http://a.com/real.txt", "a.com", 200, None, "dA", None),
+            # b.com: robots 500 → unreachable → complete disallow
+            ("http://b.com/robots.txt", "b.com", 500, None, None, None),
+            # c.com: redirect loop → budget exhausted → allow-all
+            ("http://c.com/robots.txt", "c.com", 302, "http://c.com/r2", None, None),
+            ("http://c.com/r2", "c.com", 302, "/robots.txt", None, None),
+            # d.com: 404 → unavailable → allow-all
+            ("http://d.com/robots.txt", "d.com", 404, None, None, None),
+        ],
+        columns=["url", "host", "status", "location", "doc_id", "content_type"],
+    )
+    docs_pd = pd.DataFrame(
+        [("dA", _span("User-agent: *\nDisallow: /sec"))],
+        columns=["doc_id", "spans"],
+    )
+    pending = spark.createDataFrame(
+        [(f"http://{h}.com/x", f"{h}.com", f"{h}.com") for h in "abcd"],
+        "url string, host string, tpd string",
+    )
+    cache = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+    out = robots.refresh_robots(
+        pending,
+        cache,
+        synth.pages_df(spark, pages_pd),
+        synth.documents_df(spark, docs_pd),
+        wave=0,
+        user_agent="bot",
+    )
+    got = {
+        r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
+        for r in out.collect()
+    }
+    assert got == {
+        "a.com": [(False, "/sec")],
+        "b.com": [(False, "/")],
+        "c.com": [],
+        "d.com": [],
+    }
+
+    # oracle scalar mirror: same classification, same redirect budget
+    o = Oracle(pages_pd, docs_pd, CrawlConfig(user_agent="bot"))
+    mirror = {
+        h: [(a, p) for a, p, _, _ in o._fetch_robots(h, f"http://{h}/x")]
+        for h in ("a.com", "b.com", "c.com", "d.com")
+    }
+    assert mirror == got

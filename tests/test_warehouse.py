@@ -253,3 +253,24 @@ def test_expire_drops_unreachable_snapshots(spark, wh_root):
     assert ks == [4, 99]
     # expired snapshots are gone
     assert not os.path.exists(t._meta_path(versions[0]))
+
+
+def test_orphaned_claim_tmp_not_a_version(spark, wh_root):
+    """An in-flight (or kill-orphaned) ``v{N}.json.tmp.<hex>`` claim file
+    in _meta must not count as a staged version: latest_version() taking
+    it at face value would make the next read()/append() open a manifest
+    that does not exist (the claim's target was never linked)."""
+    import os
+
+    wh = Warehouse(wh_root)
+    t = wh.table("t_orphan", SCHEMA)
+    v1 = t.append(_df(spark, [(1, "a")]))
+    # simulate a stager killed between tmp write and os.link
+    orphan = os.path.join(wh_root, "t_orphan", "_meta", "v00000002.json.tmp.dead")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    assert t.latest_version() == v1
+    assert t.read(spark).count() == 1  # version=None path resolves v1
+    v2 = t.append(_df(spark, [(2, "b")]))  # next append claims slot 2
+    assert v2 == 2
+    assert t.read(spark, v2).count() == 2
