@@ -689,6 +689,81 @@ _MEDIA_DECODE_ORACLE = """
 """
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher-style repetition gates (Rae et al. 2021 App. A, token
+    variant): repeated-bigram fraction + top-bigram share per doc, with
+    the keep/drop verdict.  Distinct-fraction is pure JVM array math in
+    the scan's project; the exact top-share mode is one well-keyed
+    explode+count shuffle (see crawler/textops.py repetition_stats)."""
+    from crawler.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf, "documents"))
+
+
+# ------------- link-graph analytics (crawler/graph.py) -------------
+
+
+def _graph_edges(spark, sf):
+    from crawler import graph
+
+    docs = _read(spark, sf, "documents")
+    return graph.synth_edges(docs, docs.count())
+
+
+def _q_link_stats(spark, sf):
+    """Per-document link statistics over the deterministic synthesized
+    link graph (crawler/graph.py synth_edges — the oracle states the
+    same closed-form dst formula): out-degree / in-degree per doc.
+    Two map-side-combined aggregates + one full-outer join on the node
+    id.  No reference analog (the reference has no graph analytics);
+    training-pipeline extension."""
+    from crawler import graph
+
+    return graph.link_stats(_graph_edges(spark, sf)).select(
+        F.col("node").alias("doc_id"), "outdeg", "indeg"
+    )
+
+
+def _q_pagerank(spark, sf):
+    """Fixed-iteration PageRank (5 rounds, d=0.85, rank rounded to 9dp
+    after EVERY round so cross-engine float drift cannot compound) over
+    the synthesized link graph; top-50 by rounded rank, doc_id
+    tie-break.  The DuckDB oracle unrolls the same five iterations term
+    for term (Brin & Page 1998; no-dangling-mass variant — the
+    synthesized graph gives every node out-links)."""
+    from crawler import graph
+
+    pr = graph.pagerank(_graph_edges(spark, sf), n_iter=5, damping=0.85,
+                        iter_dp=9)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _q_dedup_clusters(spark, sf):
+    """The last step of the dedup story: resolve the VERIFIED near-dup
+    pairs (ngram_jaccard_dups: banded-LSH candidates -> exact Jaccard
+    >= 0.5) into clusters via alternating large-star/small-star
+    connected components (Kiveris et al. 2014), pick the canonical
+    representative = min doc_id, attach the cluster size.  The >= 0.5
+    pair relation is NOT transitive (A~B and B~C can hold with A~C
+    below threshold), so this is genuine component resolution, not a
+    groupBy — the DuckDB oracle computes the same components by
+    recursive transitive closure."""
+    from crawler import graph
+
+    pairs = _q_ngram_jaccard_dups(spark, sf).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs, a="doc_a", b="doc_b")
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "rep").select(
+        F.col("node").alias("doc_id"), "rep", "cluster_size"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -718,6 +793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "knn_ivf": _q_knn_ivf,
         "curate_corpus": _q_curate_corpus,
+        "link_stats": _q_link_stats,
+        "pagerank": _q_pagerank,
+        "dedup_clusters": _q_dedup_clusters,
+        "gopher_repetition": _q_gopher_repetition,
     }
 
 
@@ -906,6 +985,45 @@ _SIMHASH_FP_CTES = r"""
       FROM votes GROUP BY doc_id
     )
 """
+
+
+def _link_stats_oracle_sql() -> str:
+    from crawler.graph import synth_edges_sql
+
+    return f"""
+        WITH edges AS ({synth_edges_sql()}),
+        o AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+        i AS (SELECT dst AS node, count(*) AS indeg FROM edges GROUP BY dst)
+        SELECT coalesce(o.node, i.node) AS doc_id,
+               coalesce(outdeg, 0) AS outdeg,
+               coalesce(indeg, 0) AS indeg
+        FROM o FULL OUTER JOIN i ON o.node = i.node
+    """
+
+
+def _pagerank_oracle_sql() -> str:
+    from crawler.graph import pagerank_oracle_sql, synth_edges_sql
+
+    chain = pagerank_oracle_sql(synth_edges_sql(), n_iter=5, damping=0.85,
+                                iter_dp=9)
+    return f"""
+        WITH {chain}
+        SELECT node AS doc_id, round(rank, 6) AS rank
+        FROM r5
+        ORDER BY round(rank, 6) DESC, node ASC LIMIT 50
+    """
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    from crawler.graph import components_oracle_sql
+
+    chain = components_oracle_sql(_ngram_lsh_oracle_sql())
+    return f"""
+        WITH RECURSIVE {chain},
+        sizes AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+        SELECT c.node AS doc_id, c.rep, s.cluster_size
+        FROM comp c JOIN sizes s ON s.rep = c.rep
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1143,5 +1261,46 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "link_stats": _link_stats_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "gopher_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CASE WHEN len(toks) >= 2
+                       THEN list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            ),
+            base AS (
+              SELECT doc_id, n_tokens, len(grams) AS n_grams,
+                     round(CASE WHEN len(grams) > 0
+                           THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                      / len(grams)
+                           ELSE 0.0 END, 6) AS dup_2gram_frac,
+                     grams
+              FROM g
+            ),
+            cnt AS (
+              SELECT doc_id, gram, count(*) AS c
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM base) _e
+              GROUP BY doc_id, gram
+            ),
+            top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, b.dup_2gram_frac,
+                   round(coalesce(CAST(tp.top_c AS DOUBLE)
+                                  / nullif(b.n_grams, 0), 0.0), 6)
+                     AS top_2gram_share,
+                   (b.dup_2gram_frac <= 0.2
+                    AND round(coalesce(CAST(tp.top_c AS DOUBLE)
+                                       / nullif(b.n_grams, 0), 0.0), 6) <= 0.2)
+                     AS keep
+            FROM base b LEFT JOIN top tp USING (doc_id)
         """,
     }

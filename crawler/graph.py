@@ -1,0 +1,340 @@
+"""Link-graph analytics over the crawl corpus.
+
+The graph-shaped operators a 100 TB training-data pipeline needs on
+top of crawl output: per-document link statistics, PageRank document
+scoring (crawl prioritization / quality weighting at corpus scale),
+and connected-component resolution of near-duplicate PAIRS into
+clusters with a canonical representative — the missing last step of
+the dedup story (crawler/textops.py detects pairs; a curation job
+needs one kept doc per cluster).
+
+All algorithms are public:
+
+- PageRank: Brin & Page 1998, fixed-iteration power method with
+  damping.  Implemented WITHOUT dangling-mass redistribution (nodes
+  with no out-links simply leak their mass; the synthesized bench
+  graph gives every node out-links so the term is zero there) — the
+  variant is stated so the DuckDB oracle can mirror it term for term.
+  Ranks are rounded to ``iter_dp`` decimals AFTER EVERY ITERATION in
+  both engines, so cross-engine float drift cannot compound: each
+  iteration's inputs are bit-identical and only the final
+  sum-of-a-few-doubles differs by ulps before the round.
+
+- Connected components: alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  ACM SoCC 2014) — O(log n) rounds, each round two keyed
+  aggregations + joins; the edge set never grows beyond the input
+  (star operations only re-point edges) and no component's
+  transitive closure is ever materialized.  This matters at scale:
+  naive min-label propagation needs O(diameter) rounds and a
+  closure-based approach is O(sum of component sizes squared).
+
+Reference parity: dennybritz/crawler-scala has no graph analytics —
+these extend the training-data operator suite the brief asks for
+beyond the reference's own inventory.
+
+Scale notes (100 TB):
+- ``pagerank``: the ranks table is O(nodes), never O(edges).  Each
+  iteration is one shuffle on ``src`` (rank join; the edge table is
+  pre-joined with out-degree and persisted ONCE, reused every
+  iteration) and one partial/final aggregate on ``dst`` (map-side
+  combine halves the shuffle).  ``localCheckpoint`` every
+  ``checkpoint_every`` rounds truncates the lineage — without it the
+  plan tree doubles per round and the DRIVER becomes the bottleneck
+  long before the cluster does.
+- ``connected_components``: per round two groupBy/join pairs keyed on
+  a node id; convergence is checked with a count + a bounded
+  ``isEmpty`` on a one-way set difference (no closure, no collect of
+  edges).  Each round's edge set is ``localCheckpoint``ed — the edge
+  set is referenced ~6x per round, so without lineage truncation the
+  LOGICAL plan multiplies ~6x/round and the driver OOMs building
+  plan trees long before any executor sees data (persist alone does
+  not cut the analyzer's tree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# deterministic link-graph synthesis (shared formula with the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+#: out-edges per document in the synthesized graph
+SYNTH_OUT_DEG = 3
+#: multipliers in the synthesized dst formula — coprime-ish constants so
+#: the graph mixes well; the DuckDB oracle states the SAME formula
+SYNTH_MUL_SRC = 31
+SYNTH_MUL_J = 97
+
+
+def synth_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic directed link graph over ``doc_id`` 0..n_docs-1.
+
+    For each doc d and j in 1..SYNTH_OUT_DEG:
+        raw = (d*31 + j*97) mod N;  dst = raw == d ? (d+1) mod N : raw
+    then DISTINCT (two j may collide).  Every node has >= 2 out-edges,
+    so the graph has no dangling nodes and the no-dangling-mass
+    PageRank variant is exact on it.  The formula is pure JVM column
+    arithmetic — the synthesis itself is scan -> project, no shuffle.
+    """
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, SYNTH_OUT_DEG + 1)]))
+    src = F.col("src")
+    raw = F.pmod(src * SYNTH_MUL_SRC + F.col("j") * SYNTH_MUL_J, F.lit(n_docs))
+    dst = F.when(raw == src, F.pmod(src + 1, F.lit(n_docs))).otherwise(raw)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("src"), js.alias("j"))
+        .select("src", dst.cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+def synth_edges_sql(docs_table: str = "documents") -> str:
+    """The DuckDB mirror of :func:`synth_edges` (same formula, same
+    DISTINCT), as a CTE body producing (src, dst)."""
+    return f"""
+        SELECT DISTINCT src,
+               CASE WHEN raw = src THEN (src + 1) % n ELSE raw END AS dst
+        FROM (
+          SELECT CAST(doc_id AS BIGINT) AS src,
+                 (CAST(doc_id AS BIGINT) * {SYNTH_MUL_SRC} + j * {SYNTH_MUL_J})
+                   % n AS raw,
+                 n
+          FROM {docs_table}
+          CROSS JOIN (SELECT unnest([{", ".join(str(j) for j in range(1, SYNTH_OUT_DEG + 1))}]) AS j)
+          CROSS JOIN (SELECT count(*) AS n FROM {docs_table})
+        )
+    """
+
+
+# --------------------------------------------------------------------------
+# link statistics
+# --------------------------------------------------------------------------
+
+def link_stats(edges: DataFrame) -> DataFrame:
+    """Per-node out-degree / in-degree over a directed edge list.
+
+    One partial/final aggregate per direction, joined on the node id
+    (full outer, so sinks and sources both appear).  At scale this is
+    two map-side-combined shuffles on a long key — the cheapest
+    possible degree computation."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("indeg")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank (power iteration, fixed rounds, per-round rounding)
+# --------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    iter_dp: int = 9,
+    checkpoint_every: int = 0,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst).
+
+    Returns (node, rank).  ``iter_dp`` rounds the rank after every
+    iteration (cross-engine determinism — see module docstring);
+    ``checkpoint_every`` (0 = off) localCheckpoints the rank table
+    every k rounds to truncate lineage on long runs.  Nodes without
+    in-links get the teleport term only; nodes without out-links leak
+    mass (documented variant).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()  # re-joined every iteration; without this the node
+        # derivation (2 aggs over the edge scan) re-executes per round
+    )
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    odeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    # pre-joined once, reused by every iteration's rank join
+    ew = edges.join(odeg, "src").select("src", "dst", "odeg").persist()
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), iter_dp).alias("rank")
+    )
+    for i in range(n_iter):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("odeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(teleport) + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
+                iter_dp,
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    iter_dp: int = 9,
+) -> str:
+    """Unrolled DuckDB twin of :func:`pagerank`: one CTE per iteration,
+    same teleport/damping literals, same per-iteration round.  Returns
+    a CTE chain ending in ``r{n_iter}`` (node, rank); the caller
+    appends its own final SELECT."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, round(1.0 / n, {iter_dp}) AS rank"
+        "  FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS (
+              SELECT n.node,
+                     round((1.0 - {damping}) / nn.n
+                           + {damping} * coalesce(s.c, 0.0), {iter_dp}) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+                FROM edges e
+                JOIN r{i - 1} r ON r.node = e.src
+                JOIN odeg o ON o.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            )"""
+        )
+    return ",\n        ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# connected components (alternating large-star / small-star)
+# --------------------------------------------------------------------------
+
+def _canon(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Unordered pair canonical form (a < b), self-loops dropped."""
+    return (
+        df.where(F.col(x) != F.col(y))
+        .select(
+            F.least(x, y).alias("a"),
+            F.greatest(x, y).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve an undirected pair list into components.
+
+    Returns (node, rep) where rep = the component's minimum node id —
+    the canonical-representative pick a dedup pipeline keys on.  Only
+    nodes that appear in ``pairs`` are returned (singletons have no
+    pairs to resolve).
+
+    Alternating large-star / small-star (Kiveris et al. 2014): each
+    round re-points edges toward component minima; at the fixpoint the
+    edge set is a star forest (every edge = (root, member)).  The edge
+    count never exceeds the input's, rounds are O(log n), and each
+    round is two keyed aggregate+join pairs — no closure, no driver
+    materialization beyond a bounded convergence probe.
+    """
+    # localCheckpoint (NOT persist) each round: persist truncates
+    # re-execution but not the LOGICAL plan — `e` is referenced ~6x per
+    # round, so the analyzer's tree multiplies ~6x/round and the driver
+    # OOMs building plans long before any executor sees data.
+    # localCheckpoint cuts the lineage to a materialized RDD scan.
+    e = _canon(pairs, a, b).localCheckpoint()
+    n_e = e.count()
+    for _ in range(max_iter):
+        # large-star: per node u, m = min(N(u) + {u}); connect every
+        # STRICTLY LARGER neighbor to m
+        sym = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("mn", F.col("a")).alias("m"))
+        )
+        large = _canon(
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y")),
+        ).persist()
+        # small-star: edges already point larger -> smaller in canonical
+        # form (b > a); per node u = b, m = min of its smaller
+        # neighborhood; connect u AND each smaller neighbor to m
+        mins2 = large.groupBy("b").agg(F.min("a").alias("m"))
+        with_min = large.join(mins2, "b")
+        small = _canon(
+            with_min.select(F.col("a").alias("x"), F.col("m").alias("y"))
+            .union(with_min.select(F.col("b").alias("x"), F.col("m").alias("y"))),
+        ).localCheckpoint()
+        n_small = small.count()
+        # both sides are DISTINCT canonical sets: equal count + empty
+        # one-way difference <=> set equality (bounded probe, no collect)
+        converged = n_small == n_e and small.subtract(e).isEmpty()
+        large.unpersist()
+        e, n_e = small, n_small
+        if converged:
+            break
+    labels = (
+        e.select(F.col("b").alias("node"), F.col("a").alias("rep"))
+        .union(e.select(F.col("a").alias("node"), F.col("a").alias("rep")))
+        .distinct()
+    )
+    return labels
+
+
+def components_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB twin of :func:`connected_components`: transitive closure
+    via a recursive CTE (semi-naive; fine at oracle scale, exactly the
+    quadratic-blowup shape the Spark side avoids), rep = min reachable.
+    ``pairs_cte``: a full SELECT producing (doc_a, doc_b).  Returns a
+    WITH RECURSIVE chain ending in ``comp`` (node, rep)."""
+    return f"""
+        pairs AS (SELECT * FROM ({pairs_cte}) _pairs_q),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(s, t) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM und) _n
+          UNION
+          SELECT r.s, e.v FROM reach r JOIN und e ON e.u = r.t
+        ),
+        comp AS (
+          SELECT s AS node, min(t) AS rep FROM reach GROUP BY s
+        )"""

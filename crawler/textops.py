@@ -567,6 +567,89 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(
+    documents: DataFrame,
+    dup_max: float = 0.2,
+    top_max: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality gates (token-count variant of
+    the repetition rules in Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", App. A; the
+    same family of rules C4 applies, Raffel et al. 2020): per doc
+
+      - n_tokens
+      - dup_2gram_frac: 1 - distinct/total bigrams (repeated-bigram
+        fraction)
+      - top_2gram_share: occurrences of the most frequent bigram /
+        total bigrams
+      - keep: dup_2gram_frac <= dup_max AND top_2gram_share <= top_max
+
+    Plan shape: bigram construction and the distinct fraction are pure
+    JVM array expressions inside the scan's project (no shuffle, no
+    Python).  The top share needs a per-doc MODE, which no array
+    builtin provides — ONE posexplode + partial/final count aggregate
+    keyed (doc_id, gram), then a max aggregate keyed doc_id, both
+    map-side combined; the per-doc stats join back broadcast-or-AQE on
+    doc_id.  At 100 TB that is one well-keyed shuffle over the bigram
+    stream — the unavoidable cost of an exact mode (a sketch variant
+    would drop the shuffle at the price of approximation)."""
+    toks = F.split(F.lower("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        # guard: F.sequence(0, size-2) with size < 2 would produce a
+        # DESCENDING sequence (Spark auto-steps -1), not an empty array
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = documents.select(
+        "doc_id", grams.alias("grams"), F.size(toks).alias("n_tokens")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("grams").alias("n_grams"),
+        F.round(
+            F.when(
+                F.size("grams") > 0,
+                1.0
+                - F.size(F.array_distinct("grams"))
+                / F.size("grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+        "grams",
+    )
+    top = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    share = F.round(
+        F.coalesce(
+            F.col("top_c").cast("double")
+            / F.when(F.col("n_grams") > 0, F.col("n_grams")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_2gram_frac",
+            share.alias("top_2gram_share"),
+            (
+                (F.col("dup_2gram_frac") <= dup_max)
+                & (share <= top_max)
+            ).alias("keep"),
+        )
+    )
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Token accounting: whitespace tokens + a BPE-ish subword proxy
     (word-boundary pieces ≈ len/4 chars) — the standard pre-training

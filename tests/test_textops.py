@@ -379,3 +379,25 @@ def test_bit_vote_memory_bounded_on_long_docs():
     assert list(got[:5]) == expect
     assert len(got) == n_docs
     assert peak < 250 * 1024 * 1024, f"bit-vote transient peak {peak/2**20:.0f} MB"
+
+
+def test_repetition_stats_golden(spark):
+    # hand-computed Gopher-style repetition metrics
+    rows = [
+        (0, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 5 total,
+                                     # 2 distinct; dup=0.6, top=3/5
+        (1, "w x y z"),              # all bigrams unique
+        (2, "solo"),                 # < 2 tokens -> no bigrams
+        (3, "r r r r r r r r r r"),  # one bigram repeated 9x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_2gram_frac"], r["top_2gram_share"], r["keep"]
+        )
+        for r in textops.repetition_stats(df).collect()
+    }
+    assert got[0] == (6, 0.6, 0.6, False)
+    assert got[1] == (4, 0.0, round(1 / 3, 6), False)
+    assert got[2] == (1, 0.0, 0.0, True)
+    assert got[3] == (10, round(1 - 1 / 9, 6), 1.0, False)
