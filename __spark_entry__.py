@@ -764,6 +764,91 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+# ------------- corpus curation part 2 + event analytics (round 3b)
+
+
+def _q_paragraph_dedup(spark, sf):
+    """CCNet-style corpus-level paragraph dedup (Wenzek et al. 2019):
+    first occurrence of each paragraph wins corpus-wide, documents
+    reassembled from survivors.  Two shuffles — first-wins window on
+    md5(para), groupBy(doc_id) reassembly with within-doc array_sort
+    (no global sort).  See crawler/textops.paragraph_dedup."""
+    from crawler.textops import paragraph_dedup
+
+    return paragraph_dedup(_read(spark, sf, "documents"), width=10)
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any word-3-gram
+    with the held-out eval slice (doc_id % 97 == 0), with the distinct
+    overlapping-shingle count.  The eval side reduces to distinct
+    shingles (small by construction → AQE broadcasts it); the train
+    side streams map-side.  See crawler/textops.contamination."""
+    from crawler.textops import contamination
+
+    docs = _read(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, shingle_n=3)
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic stratified sample (20 docs per language) ranked by
+    seeded md5 — no rand(), reproducible cross-engine.  Runs the salted
+    two-phase top-k (textops.topk_per_group): the plain row_number()
+    oracle twin proves the salted prune lossless."""
+    from crawler.textops import stratified_sample
+
+    return stratified_sample(_read(spark, sf, "documents"), "lang", k=20)
+
+
+def _q_tfidf_top(spark, sf):
+    """Top-5 characteristic terms per source by tf/df (log-free idf:
+    one IEEE division ranks identically in every engine; ln() is a
+    last-ulp landmine near rank boundaries).  tf agg → df agg → join →
+    salted two-phase top-k.  See crawler/textops.tfidf_top_terms."""
+    from crawler.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf, "documents"), k=5)
+
+
+#: 6h inactivity gap (microseconds) — sized to the synthetic events
+#: stream's per-user median gap (~7h) so sessions genuinely merge+split.
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+def sessionize(events: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inactivity exceeds `gap_us` (the classic lag → new-session flag →
+    running sum).  One window shuffle on user_id; totals sum in
+    decimal(18,4) because double summation order is engine- and
+    partition-dependent.  The events table stores TIMESTAMP_NTZ; the
+    session TZ is pinned UTC (session.py), so casting to TIMESTAMP
+    keeps the wall clock and unix_micros == DuckDB's epoch_us."""
+    from pyspark.sql.window import Window
+
+    events = events.withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("_us") - F.lag("_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    run = events.withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return run.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+
+
+def _q_sessionize(spark, sf):
+    return sessionize(_read(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -797,6 +882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "dedup_clusters": _q_dedup_clusters,
         "gopher_repetition": _q_gopher_repetition,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_top": _q_tfidf_top,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -1302,5 +1392,98 @@ def oracle_sql() -> dict[str, str]:
                                        / nullif(b.n_grams, 0), 0.0), 6) <= 0.2)
                      AS keep
             FROM base b LEFT JOIN top tp USING (doc_id)
+        """,
+        "paragraph_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+            ),
+            paras AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ') AS para
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(0, (len(tk) - 1) // 10)) AS i) g
+            ),
+            ranked AS (
+              SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, para_idx) = 1 AS keep
+              FROM paras
+            )
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                                           ORDER BY para_idx), '')) AS kept_md5
+            FROM ranked GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS sh
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+            ),
+            bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+            SELECT t.doc_id, count(DISTINCT t.sh) AS n_overlap
+            FROM train t JOIN bench b USING (sh)
+            GROUP BY t.doc_id
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 20
+        """,
+        "tfidf_top": """
+            WITH words AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents
+            ),
+            tf AS (
+              SELECT source, word, count(*) AS tf FROM words
+              WHERE word <> '' GROUP BY source, word
+            ),
+            df_ AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+            scored AS (
+              SELECT source, word, tf, dfreq,
+                     CAST(tf AS DOUBLE) / dfreq AS score
+              FROM tf JOIN df_ USING (word)
+            )
+            SELECT source, word, tf, dfreq, round(score, 6) AS score,
+                   CAST(rk AS INT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY score DESC, word ASC) AS rk
+                  FROM scored)
+            WHERE rk <= 5
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 21600000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us,
+                   max(epoch_us(ts)) AS end_us,
+                   round(CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE), 4)
+                     AS total_value
+            FROM s GROUP BY user_id, session_seq
         """,
     }

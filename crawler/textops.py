@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 # --------------------------------------------------------------- helpers
 
@@ -796,4 +797,176 @@ def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
         .distinct()
         .withColumn("ref_md5", F.md5(F.coalesce(F.col("media_ref"), F.lit(""))))
         .mapInPandas(gen, schema=MEDIA_FEATURE_SCHEMA)
+    )
+
+
+# ----------------------------------------------- corpus curation, part 2
+#
+# The CCNet/decontamination/sampling trio a training-data pipeline runs
+# after the near-dup family above.  Same determinism contract: md5-only
+# hashing, no rand(), no ln() in any ORDER BY (libm vs DuckDB differ in
+# the last ulp and a rank flip breaks the value-hash oracle).
+
+
+def paragraph_dedup(documents: DataFrame, width: int = 10) -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup (Wenzek et al. 2019
+    §4.1: hash every paragraph, drop repeats corpus-wide): keep the
+    FIRST occurrence of each paragraph in (doc_id, para_idx) order and
+    reassemble every document from its surviving paragraphs.
+
+    Paragraph segmentation stand-in: the synthetic corpus carries no
+    newlines, so a "paragraph" is a fixed `width`-token chunk of the
+    whitespace token stream; a real corpus swaps the chunker for
+    ``split(text, '\\n\\n')`` — one expression, identical plan.
+
+    Scale: two shuffles.  (1) a first-wins window keyed on md5(para) —
+    16-byte uniformly-distributed keys, and a key's group is only its
+    copy count, never the corpus; (2) one groupBy(doc_id) to
+    reassemble, sorting only WITHIN each doc's collected array
+    (array_sort over (para_idx, para) structs) — no global sort.
+    """
+    toks = "split(lower(text), ' ')"
+    paras = F.expr(
+        f"transform(sequence(0, (size({toks}) - 1) div {width}),"
+        f" i -> concat_ws(' ', slice({toks}, i * {width} + 1, {width})))"
+    )
+    ex = documents.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    kept = ex.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    kept_struct = F.when(F.col("keep"), F.struct("para_idx", "para"))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+def contamination(
+    train: DataFrame, bench: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word-n-gram with a benchmark/eval document, with the count of
+    distinct overlapping shingles (the overlap audit of Brown et al.
+    2020, App. C; production pipelines use 8-13-grams — the short
+    synthetic docs use 3).
+
+    Scale: the benchmark side reduces to DISTINCT shingles of the
+    (small) eval suite, so Catalyst/AQE broadcasts it by size — no
+    hint, deliberately: if the eval suite ever outgrows the threshold
+    the join degrades to a shuffle on the shingle, not an executor OOM.
+    The train side streams through map-side; the final aggregate is on
+    doc_id and its output is bounded by the contaminated set, not the
+    corpus.
+    """
+    sh_b = (
+        bench.select(F.explode(shingles_expr("text", shingle_n)).alias("sh"))
+        .distinct()
+    )
+    sh_t = train.select(
+        "doc_id", F.explode(shingles_expr("text", shingle_n)).alias("sh")
+    )
+    return (
+        sh_t.join(sh_b, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str,
+    order: list,
+    k: int,
+    salt: F.Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """EXACT top-k per group without ever sorting a whole group in one
+    task: stage 1 keeps the top-k within (group, salt) — any true
+    per-group top-k row is top-k inside its own salt bucket, so the
+    ≤ k·buckets survivors are a superset — stage 2 ranks the survivors
+    exactly.  The same two-phase shape as the politeness scheduler's
+    mega-host prune (politeness._topk_salted), generalized; losslessness
+    is what the oracle's plain ``row_number()`` twin value-checks.
+    Emits the exact rank as ``rk``.
+    """
+    w1 = Window.partitionBy(F.col(group), F.pmod(salt, F.lit(buckets))).orderBy(
+        *order
+    )
+    pruned = (
+        df.withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .drop("_rk1")
+    )
+    w2 = Window.partitionBy(F.col(group)).orderBy(*order)
+    return pruned.withColumn("rk", F.row_number().over(w2)).where(
+        F.col("rk") <= k
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, stratum: str = "lang", k: int = 20
+) -> DataFrame:
+    """Deterministic stratified sample: k docs per stratum, ranked by a
+    seeded md5 of the doc id — reproducible across runs AND engines (no
+    rand(), which neither repeats nor exists identically in DuckDB).
+    Routed through the salted two-phase top-k so a mega-stratum (at
+    web scale one language IS most of the corpus) never sorts in one
+    task.
+    """
+    rnd = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    d = documents.withColumn("_rnd", rnd)
+    out = topk_per_group(
+        d,
+        stratum,
+        [F.col("_rnd").asc(), F.col("doc_id").asc()],
+        k,
+        salt=F.col("doc_id"),
+    )
+    return out.select(stratum, "doc_id", "rk")
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per source by tf×idf with a LOG-FREE
+    idf (idf' = 1/df, i.e. score = tf/df): a single correctly-rounded
+    IEEE division, bit-identical in every engine, where the textbook
+    ln(N/df) differs between libm and DuckDB in the last ulp and a
+    one-ulp flip near a rank boundary breaks value-hash equality.  1/df
+    is a monotone transform of ln(N/df) in df, so per-term rarity
+    ordering is preserved; the tf-weighted composite is a documented
+    variant (the ln form is a one-line swap where cross-engine hashes
+    are not load-bearing).
+
+    Scale: tf aggregate on (source, word) (map-side combined), df
+    aggregate on word, AQE-sized join of two already-reduced frames,
+    then the salted two-phase top-k per source — a hot source's vocab
+    never sorts in one task.
+    """
+    words = documents.select(
+        "source", F.explode(tokens_expr("text")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "word").withColumn(
+        "score", F.col("tf").cast("double") / F.col("dfreq")
+    )
+    out = topk_per_group(
+        scored,
+        "source",
+        [F.desc("score"), F.asc("word")],
+        k,
+        salt=md5_prefix64(F.col("word")),
+    )
+    return out.select(
+        "source", "word", "tf", "dfreq",
+        F.round("score", 6).alias("score"), "rk",
     )

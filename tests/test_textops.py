@@ -401,3 +401,123 @@ def test_repetition_stats_golden(spark):
     assert got[1] == (4, 0.0, round(1 / 3, 6), False)
     assert got[2] == (1, 0.0, 0.0, True)
     assert got[3] == (10, round(1 - 1 / 9, 6), 1.0, False)
+
+
+# ------------------------------------------ corpus curation, part 2
+
+
+def test_paragraph_dedup_first_wins_and_reassembly(spark):
+    # width=3 chunks: doc 0 = [A B C][D E F]; doc 1 repeats chunk
+    # "a b c" (dropped, doc 0 saw it first) then a fresh chunk.
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),
+        (2, "x y z"),  # dup of doc 1's surviving chunk -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.paragraph_dedup(docs, width=3).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["kept_md5"] == md5("a b c d e f")
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["kept_md5"] == md5("x y z")  # 'a b c' deduped away
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["kept_md5"] == md5("")  # everything deduped
+
+
+def test_contamination_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is blue")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "we think the secret eval answer might differ"),  # 3-gram hit x2
+            (1, "totally clean training text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in
+           textops.contamination(train, bench, shingle_n=3).collect()}
+    # shared 3-grams: "the secret eval", "secret eval answer"
+    assert out == {0: 2}
+
+
+def test_topk_per_group_is_lossless_vs_plain_window(spark):
+    # fuzz: the salted two-phase prune must equal the single-window rank
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        # group 'hot' is deliberately skewed (mega-stratum)
+        (("hot" if rng.random() < 0.7 else f"g{rng.randrange(5)}"), i,
+         rng.randrange(1000))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score long")
+    order = [F.desc("score"), F.asc("id")]
+    fast = {
+        (r["grp"], r["id"]): r["rk"]
+        for r in textops.topk_per_group(
+            df, "grp", order, k=7, salt=F.col("id"), buckets=4
+        ).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(*order)
+    slow = {
+        (r["grp"], r["id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .collect()
+    }
+    assert fast == slow
+
+
+def test_tfidf_top_terms_planted(spark):
+    rows = [
+        (0, "alpha alpha alpha shared", "s1"),
+        (1, "beta shared shared", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.tfidf_top_terms(docs, k=2).collect()
+    top = {(r["source"], r["rk"]): (r["word"], r["tf"], r["dfreq"], r["score"])
+           for r in out}
+    # 'alpha': tf=3 df=1 -> 3.0 beats 'shared' in s1 (tf=1 df=2 -> 0.5)
+    assert top[("s1", 1)] == ("alpha", 3, 1, 3.0)
+    assert top[("s1", 2)] == ("shared", 1, 2, 0.5)
+    # s2: 'beta' tf=1 df=1 -> 1.0 beats 'shared' tf=2 df=2 -> 1.0?  no:
+    # equal scores tie-break on word asc -> 'beta' first
+    assert top[("s2", 1)][0] == "beta"
+    assert top[("s2", 2)][0] == "shared"
+
+
+def test_sessionize_gap_split(spark):
+    import datetime as dt
+
+    import __spark_entry__ as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    hours = lambda h: t0 + dt.timedelta(hours=h)  # noqa: E731
+    rows = [
+        # user 1: two events 1h apart (one session), then a 7h gap
+        (0, hours(0), 1, "a", 1.0, "{}"),
+        (1, hours(1), 1, "a", 2.0, "{}"),
+        (2, hours(8), 1, "a", 4.0, "{}"),
+        # user 2: single event
+        (3, hours(2), 2, "b", 8.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["total_value"])
+        for r in E.sessionize(ev, gap_us=6 * 3600 * 1_000_000).collect()
+    }
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
