@@ -159,7 +159,6 @@ class Crawl:
         adds = self._read("frontier_adds")
         consumed = self._read("frontier_consumed")
         url_seen = self._read("url_seen")
-        bloom_df = self._read("url_seen_bloom")
         host_state = self._read("host_state")
         robots = self._read("robots_cache")
         pages = self._read("pages")
@@ -224,6 +223,26 @@ class Crawl:
         cand = dedup.with_url_keys(cand, "dest_url", cfg).persist()
         m.extracted = cand.count()
 
+        # ---- manifest file-skipping on the URL-seen bloom scan: shards
+        # key on tpd, and a politeness-budgeted wave touches a bounded
+        # TPD set, so the wave's candidates hash into a bounded shard
+        # set — read ONLY the shard files holding them (the Iceberg
+        # partition-pruned-scan analog; at 10^10-URL scale the full
+        # bloom state is ~100s of GB and a throttled wave needs a
+        # fraction of it).  The distinct-shard collect is bounded at
+        # cfg.bloom_shards rows and runs over the persisted candidates.
+        # Probe semantics are unchanged: every candidate's shard file is
+        # included, and extra co-located shards are inert in the
+        # cogroup (no candidates → no output rows).
+        t_bloom = self._t("url_seen_bloom")
+        base_bloom = cat.version_of("url_seen_bloom")
+        cand_shards = [
+            r["shard_id"] for r in cand.select("shard_id").distinct().collect()
+        ]
+        bloom_df = t_bloom.read_pruned(
+            self.spark, "shard_id", cand_shards, version=base_bloom
+        )
+
         # ---- dedupe vs URL-seen (F2-F4); returns persisted+materialized
         new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
         m.emitted = new_links.count()
@@ -237,9 +256,13 @@ class Crawl:
         )
         # incremental bloom commit: rewrite only the data files whose
         # shards gained keys; every other shard file carries forward by
-        # reference (byte-identical paths in the new manifest)
-        t_bloom = self._t("url_seen_bloom")
-        base_bloom = base.get("url_seen_bloom", 0)
+        # reference (byte-identical paths in the new manifest).
+        # t_bloom/base_bloom were captured at the pruned read above —
+        # keys_needing_rewrite MUST run against the same manifest
+        # version the probe read, and the rewrite-None fallback (no
+        # per-file key metadata) is exactly the case where read_pruned
+        # fell back to the FULL snapshot, so the full overwrite below
+        # never sees a pruned bloom_df.
         changed_shards = [
             r["shard_id"] for r in new_links.select("shard_id").distinct().collect()
         ]

@@ -126,6 +126,36 @@ class Table:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*files)
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        keys,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Manifest-level file skipping — the Iceberg partition-pruned
+        scan analog of ``overwrite_keyed``'s write side: read only the
+        data files whose recorded key set intersects ``keys``.
+
+        File granularity: a kept file may carry EXTRA keys beyond the
+        requested set — callers must either filter or (like the bloom
+        probe's shard cogroup) be keyed such that extra keys are inert.
+        A key present in NO file behaves exactly as in a full read
+        (zero rows for it).  Falls back to the full snapshot when the
+        manifest carries no per-file key metadata, so callers can rely
+        on it unconditionally.
+        """
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        fk = m.get("file_keys")
+        if fk is None or any(f not in fk for f in m["files"]):
+            return self.read(spark, v)
+        ks = set(keys)
+        files = [f for f in m["files"] if ks.intersection(fk[f])]
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*files)
+
     # ------------------------------------------------------------- write
 
     def _write_datafiles(self, df: DataFrame) -> tuple[list[str], int]:

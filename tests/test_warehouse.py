@@ -274,3 +274,34 @@ def test_orphaned_claim_tmp_not_a_version(spark, wh_root):
     v2 = t.append(_df(spark, [(2, "b")]))  # next append claims slot 2
     assert v2 == 2
     assert t.read(spark, v2).count() == 2
+
+
+def test_read_pruned_skips_files_and_matches_full_read(spark, wh_root):
+    """Manifest file-skipping: a keyed snapshot read with a key subset
+    must scan ONLY the files holding those keys (Iceberg partition-
+    pruned scan analog) and return exactly the full read's rows for the
+    requested keys (plus co-located extras, which callers treat as
+    inert)."""
+    wh = Warehouse(wh_root)
+    t = wh.table("kt", SCHEMA)
+    # 8 keys across 4 files (2 keys per file, pinned by repartition)
+    v = t.overwrite_keyed(
+        _df(spark, [(k, f"v{k}") for k in range(8)]).repartition(4, "k"), "k"
+    )
+    full = t.read(spark, v)
+    want = {3, 6}
+    pruned = t.read_pruned(spark, "k", want, version=v)
+    # strictly fewer input files than the snapshot
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["k"] for r in pruned.collect()}
+    assert want <= got  # every requested key present...
+    # ...and nothing beyond the kept files' recorded key sets
+    fk = t._manifest(v)["file_keys"]
+    allowed = set().union(*(ks for f, ks in fk.items() if set(ks) & want))
+    assert got == allowed
+    # a key in NO file: falls through to zero rows, like the full read
+    assert t.read_pruned(spark, "k", {999}, version=v).count() == 0
+    # tables without key metadata fall back to the full snapshot
+    t2 = wh.table("plain", SCHEMA)
+    v2 = t2.append(_df(spark, [(1, "a"), (2, "b")]))
+    assert t2.read_pruned(spark, "k", {1}, version=v2).count() == 2
