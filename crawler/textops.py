@@ -954,7 +954,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     words = documents.select(
         "source", F.explode(tokens_expr("text")).alias("word")
     ).where(F.col("word") != "")
-    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregate and the scored join; without the
+    # persist the tf subtree plans twice and the corpus scans (and
+    # explodes) twice — verified: no ReusedExchange fires here even
+    # under AQE, because the df branch re-aggregates before the join.
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
     scored = tf.join(dfreq, "word").withColumn(
         "score", F.col("tf").cast("double") / F.col("dfreq")
