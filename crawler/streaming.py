@@ -227,6 +227,47 @@ def crawl_stats_windowed(
     )
 
 
+def sessions_windowed(
+    events_stream: DataFrame, gap_s: int = 5, watermark_s: int = 30
+) -> DataFrame:
+    """Gap-based sessionization as a streaming aggregation — the
+    continuous twin of ``__spark_entry__.sessionize`` (which is the
+    batch lag→flag→running-sum form), built on Spark's native
+    ``session_window``: per user, events merge into one session while
+    each arrives within ``gap_s`` of the session's current end; the
+    session finalizes (emits in append mode, state evicted) once the
+    event-time watermark passes its end.  State is O(open sessions),
+    never O(event history), and rows arriving behind the watermark are
+    dropped — the bounded-state contract the other streaming twins
+    (crawl_stats_windowed, throttle_requests_stream) follow.
+
+    Works identically on a BATCH DataFrame (withWatermark is a no-op
+    there), which is what the parity test exploits: the stream's closed
+    sessions must equal the batch computation row-for-row.  Input needs
+    (ts_ms:long, user_id, value)."""
+    return (
+        events_stream.withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+        .withWatermark("event_time", f"{watermark_s} seconds")
+        .groupBy(
+            F.session_window("event_time", f"{gap_s} seconds").alias("sess"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def apply_intake_batch(
     wh: Warehouse, batch: DataFrame, batch_id: int, cfg: CrawlConfig
 ) -> bool:

@@ -541,3 +541,71 @@ def test_robots_redirects_and_error_classification(spark):
         for h in ("a.com", "b.com", "c.com", "d.com")
     }
     assert mirror == got
+
+
+def test_sessions_windowed_watermark_and_batch_parity(spark, tmp_path):
+    """Streaming sessionization (native session_window): events within
+    the gap merge into one session per user, sessions emit once the
+    watermark passes their end, a row behind the watermark is dropped
+    (bounded state), and the closed sessions equal the same function
+    run in BATCH mode over the same rows (stream/batch parity)."""
+    from crawler import streaming
+
+    drop = tmp_path / "events"
+    drop.mkdir()
+    b1 = [
+        # user 1: events at 1s and 3s (gap 5s -> one session [1s, 8s))
+        {"ts_ms": 1_000, "user_id": 1, "value": 1.0},
+        {"ts_ms": 3_000, "user_id": 1, "value": 2.0},
+        # user 1: isolated event at 60s -> session [60s, 65s)
+        {"ts_ms": 60_000, "user_id": 1, "value": 4.0},
+        # user 2: one event; also drives the watermark to 270s
+        {"ts_ms": 300_000, "user_id": 2, "value": 8.0},
+    ]
+    with open(drop / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    schema = "ts_ms long, user_id long, value double"
+    stream = spark.readStream.schema(schema).json(str(drop))
+    q = (
+        streaming.sessions_windowed(stream, gap_s=5, watermark_s=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = [
+        {"ts_ms": 2_000, "user_id": 1, "value": 999.0},  # behind watermark
+        {"ts_ms": 310_000, "user_id": 2, "value": 16.0},  # keeps u2 open
+    ]
+    with open(drop / "b2.json", "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = {
+        (r["user_id"], int(r["sess_start"].timestamp()),
+         int(r["sess_end"].timestamp())): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # only user 1's two CLOSED sessions; the late 999 row did not
+    # reopen [1s,8s); user 2's session is still open (absent)
+    assert got == {(1, 1, 8): (2, 3.0), (1, 60, 65): (1, 4.0)}
+    # stream/batch parity: the same function over the same rows in
+    # batch mode must agree on every closed session
+    batch = streaming.sessions_windowed(
+        spark.createDataFrame(
+            [(r["ts_ms"], r["user_id"], r["value"]) for r in b1], schema
+        ),
+        gap_s=5,
+    )
+    bt = {
+        (r["user_id"], int(r["sess_start"].timestamp()),
+         int(r["sess_end"].timestamp())): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert bt[k] == v
