@@ -849,6 +849,70 @@ def _q_sessionize(spark, sf):
     return sessionize(_read(spark, sf, "events"))
 
 
+def _q_kmeans(spark, sf):
+    """Fixed-iteration spherical k-means over the embeddings table
+    (textops.kmeans_spherical): 3 Lloyd rounds from deterministic seed
+    centroids, exact fixed-point centroid means, 6dp-rounded cosine
+    assignment.  The DuckDB oracle unrolls all three rounds term for
+    term (the pagerank playbook) — assignment, centroid recompute and
+    the empty-cluster keep-old rule included."""
+    from crawler.textops import kmeans_spherical
+
+    return kmeans_spherical(_read(spark, sf, "embeddings"), k=8, n_iter=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled SQL twin of kmeans_spherical: per round an assignment
+    CTE (row_number over rounded cosine, ties to the lowest cluster)
+    and a centroid CTE (exact BIGINT fixed-point sums → one double
+    division; empty clusters coalesce to the previous round's
+    centroid), then a final assignment."""
+    def cos(v, c):
+        return (
+            f"round(list_dot_product({v}, {c}) / "
+            f"(sqrt(list_dot_product({v}, {v})) * "
+            f"sqrt(list_dot_product({c}, {c}))), 6)"
+        )
+
+    def assign(r, prev):
+        return f"""
+        a{r} AS (
+          SELECT vec_id, v, cluster, cos FROM (
+            SELECT vec_id, v, cluster, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cluster ASC) AS rn
+            FROM (SELECT e.vec_id, e.v, c.cluster,
+                         {cos('e.v', 'c.cent')} AS cos
+                  FROM e, {prev} c) _x{r}) _y{r}
+          WHERE rn = 1
+        )"""
+
+    def cents(r):
+        terms = ", ".join(
+            f"sum(CAST(round(v[{i + 1}] * 1000000) AS BIGINT))"
+            f" / (count(*) * 1000000.0)"
+            for i in range(dim)
+        )
+        return f"""
+        n{r} AS (SELECT cluster, [{terms}] AS cent FROM a{r} GROUP BY cluster),
+        c{r} AS (SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+                 FROM c{r - 1} p LEFT JOIN n{r} n USING (cluster))"""
+
+    parts = [
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cluster, v AS cent FROM e
+               WHERE vec_id BETWEEN 1 AND {k})"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append("," + assign(r, f"c{r - 1}"))
+        parts.append("," + cents(r))
+    parts.append("," + assign(n_iter + 1, f"c{n_iter}"))
+    parts.append(f"\nSELECT vec_id, cluster, cos FROM a{n_iter + 1}")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -887,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "tfidf_top": _q_tfidf_top,
         "sessionize": _q_sessionize,
+        "kmeans": _q_kmeans,
     }
 
 
@@ -1486,4 +1551,5 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM s GROUP BY user_id, session_seq
         """,
+        "kmeans": _kmeans_oracle_sql(),
     }

@@ -974,3 +974,86 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         "source", "word", "tf", "dfreq",
         F.round("score", 6).alias("score"), "rk",
     )
+
+
+# ------------------------------------------------- embedding clustering
+
+
+def _kmeans_argmax(cents: dict[int, list[float]]) -> F.Column:
+    """array_max over per-centroid (rounded cosine, -cluster) structs —
+    the same zero-shuffle JVM assignment shape as knn_ivf: highest
+    cosine wins, exact ties go to the lowest cluster id.  Requires a
+    double-cast vector column ``v`` (f64 arithmetic matches the oracle
+    bit-for-bit; the raw f32 column would differ in the last ulp)."""
+    structs = [
+        F.struct(
+            F.round(
+                cosine_expr(F.col("v"), F.array(*[F.lit(x) for x in c])), 6
+            ).alias("cos"),
+            F.lit(-cid).alias("negcluster"),
+            F.lit(cid).cast("long").alias("cluster"),
+        )
+        for cid, c in sorted(cents.items())
+    ]
+    return F.array_max(F.array(*structs))
+
+
+def kmeans_spherical(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Fixed-iteration spherical k-means (Lloyd 1982; cosine metric as
+    in Dhillon & Modha 2001): deterministic seed centroids (vec_id
+    1..k, the knn_ivf coarse-quantizer convention), then ``n_iter``
+    rounds of assign → recompute, then a final assignment.  Returns
+    (vec_id, cluster, cos) — cos to the final centroid, rounded.
+
+    Cross-engine determinism (the pagerank playbook, pushed further):
+    assignment compares 6dp-ROUNDED cosines over double-cast vectors
+    (bit-identical ops both engines), and centroid means use EXACT
+    fixed-point arithmetic — per-dim f64 values scale by 1e6 and round
+    to BIGINT (a f32 input can never land exactly on a .5 boundary:
+    x·1e6 = n+0.5 has no dyadic solution), the integer sums are
+    order-independent, and one final exact-rounded double division
+    yields the centroid.  No floating-point accumulation order anywhere.
+
+    Scale: per round ONE shuffle — groupBy(cluster) with k×(dim+1)
+    map-side-combined aggregates; assignment itself is a zero-exchange
+    project (centroids ride as literals).  The driver collects k rows
+    per round (bounded, like knn_ivf's quantizer).  Empty clusters keep
+    their previous centroid (both engines).
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.where(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= k)
+        ).collect()
+    }
+    dim = len(next(iter(cents.values())))
+    for _ in range(n_iter):
+        assigned = emb.withColumn(
+            "cluster", _kmeans_argmax(cents).getField("cluster")
+        )
+        rows = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.round(F.col("v")[i] * 1e6).cast("long")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        new = {
+            int(r["cluster"]): [
+                r[f"s{i}"] / (r["n"] * 1e6) for i in range(dim)
+            ]
+            for r in rows
+        }
+        cents = {c: new.get(c, cents[c]) for c in cents}
+    final = _kmeans_argmax(cents)
+    out = emb.select(
+        "vec_id",
+        final.getField("cluster").alias("cluster"),
+        final.getField("cos").alias("cos"),
+    )
+    return out

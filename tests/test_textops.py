@@ -521,3 +521,48 @@ def test_sessionize_gap_split(spark):
         for r in E.sessionize(ev, gap_us=6 * 3600 * 1_000_000).collect()
     }
     assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_kmeans_spherical_matches_numpy_lloyd(spark):
+    """Planted geometry + a full numpy mirror of the exact algorithm
+    (seed centroids, rounded-cosine argmax w/ lowest-id ties, exact
+    fixed-point centroid means, keep-old empty clusters)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = {1: np.array([1.0, 0.0, 0.0, 0.0]), 2: np.array([0.0, 1.0, 0.0, 0.0])}
+    rows = []
+    for vid in range(1, 41):
+        c = base[1 if vid % 2 else 2]
+        rows.append((vid, (c + rng.normal(0, 0.05, 4)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["cos"])
+        for r in textops.kmeans_spherical(emb, k=2, n_iter=2).collect()
+    }
+
+    # numpy twin
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    cents = {1: vecs[1].copy(), 2: vecs[2].copy()}
+
+    def rcos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    def argmax(v):
+        best = max(sorted(cents), key=lambda c: (rcos(v, cents[c]), -c))
+        return best, rcos(v, cents[best])
+
+    for _ in range(2):
+        groups = {}
+        for vid, v in vecs.items():
+            groups.setdefault(argmax(v)[0], []).append(v)
+        for c in cents:
+            if c in groups:
+                s = np.sum([np.round(v * 1e6) for v in groups[c]], axis=0)
+                cents[c] = s / (len(groups[c]) * 1e6)
+    want = {vid: argmax(v) for vid, v in vecs.items()}
+    assert got == want
+    # the two planted clusters actually separate
+    assert {got[1][0], got[2][0]} == {1, 2}
+    assert all(got[vid][0] == got[1][0] for vid in range(1, 41, 2))
+    assert all(got[vid][0] == got[2][0] for vid in range(2, 41, 2))
