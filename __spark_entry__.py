@@ -20,6 +20,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -913,6 +914,111 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
     return "".join(parts)
 
 
+def _q_substring_dedup(spark, sf):
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr semantics at
+    word-5-gram window granularity): docs sharing any exact window with
+    an earlier doc, via a hashed-window inverted index — the
+    distributed stand-in for the paper's single-machine suffix array.
+    See crawler/textops.exact_substring_dedup (plan notes there)."""
+    from crawler.textops import exact_substring_dedup
+
+    return exact_substring_dedup(_read(spark, sf, "documents"), n=5)
+
+
+def _q_anchor_stats(spark, sf):
+    """Anchor-text aggregation per link target (the web-graph signal
+    anchor-text corpora collect; companion to RequestExtractor.scala's
+    href extraction — here the ANCHOR TEXT rides along).  Documents are
+    rendered to well-formed HTML covering all three href quoting forms,
+    a nested tag + an entity in the anchor text, and comment/script
+    decoys that a DOM parse must NOT extract; the REAL tokenizer UDF
+    (crawler/extract.find_links_udf) does the extraction and the oracle
+    states the expected links closed-form — so strip + tag-scan +
+    attribute-walk + Element.text() semantics are all value-checked.
+    Scale: extraction is one Arrow pass fused into the scan; then one
+    (href, anchor) count agg, a salt-free top-1 window over the per-href
+    anchor counts (group = distinct anchors of one target, bounded), and
+    one href agg — the n² pair structure of a web graph never appears."""
+    from crawler.extract import find_links_udf
+
+    docs = _read(spark, sf, "documents")
+    k = F.col("doc_id")
+    w = F.split(F.lower("text"), " ")
+
+    def tgt(i):
+        return F.concat(
+            F.lit("http://site"), ((k * 7 + i) % 40).cast("string"),
+            F.lit(".example.com/p/"), ((k + i) % 100).cast("string"),
+        )
+
+    seg0 = F.concat(
+        F.lit('<a href="'), tgt(0), F.lit('"><b>'), F.element_at(w, 1),
+        F.lit("</b> page "), (k % 100).cast("string"), F.lit("</a>"),
+    )
+    seg1 = F.when(
+        k % 3 >= 1,
+        F.concat(
+            F.lit("<a href='"), tgt(1), F.lit("'>"), F.element_at(w, 2),
+            F.lit(" page "), ((k + 1) % 100).cast("string"), F.lit("</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    seg2 = F.when(
+        k % 3 >= 2,
+        F.concat(
+            F.lit("<a href="), tgt(2), F.lit(">"), F.element_at(w, 3),
+            F.lit(" &amp; "), ((k + 2) % 100).cast("string"), F.lit("</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    decoys = F.lit(
+        '<!--<a href="http://dead.example.com/x">dead</a>-->'
+        '<script>var a = "<a href=\\"http://js.example.com/y\\">js</a>";'
+        "</script>"
+    )
+    html_col = F.concat(
+        F.lit("<html><body>"), decoys, seg0, seg1, seg2, F.lit("</body></html>")
+    )
+    # links feeds BOTH the per-href agg and the per-(href, anchor)
+    # count; without the persist the extraction UDF plans (and the
+    # corpus scans) twice — same lesson as tfidf_top_terms
+    links = (
+        docs.select("doc_id", F.explode(find_links_udf(html_col)).alias("l"))
+        .select("doc_id", F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor"))
+        .persist()
+    )
+    agg = links.groupBy("href").agg(
+        F.count("*").alias("n_refs"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    pa = links.groupBy("href", "anchor").agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("href").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        pa.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("href", F.col("anchor").alias("top_anchor"))
+    )
+    return agg.join(top, "href")
+
+
+def _q_domain_stats(spark, sf):
+    """Domain-level curation rollup (RefinedWeb/C4-style host gate):
+    per registrable domain — via the full-PSL engine, so curation and
+    politeness group identically — doc count, EXACT fixed-point mean
+    quality, English fraction, keep/drop verdict.  One groupBy(tpd)
+    with map-side combine; see crawler/textops.domain_stats."""
+    from crawler.textops import domain_stats
+
+    docs = _read(spark, sf, "documents")
+    k = F.col("doc_id")
+    host = F.concat(
+        F.when(k % 3 == 0, F.lit("www."))
+        .when(k % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("a.b.")),
+        F.lit("site"), (k % 40).cast("string"),
+        F.when(k % 2 == 0, F.lit(".com")).otherwise(F.lit(".co.uk")),
+    )
+    return domain_stats(docs.select("doc_id", host.alias("host"), "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -952,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": _q_tfidf_top,
         "sessionize": _q_sessionize,
         "kmeans": _q_kmeans,
+        "substring_dedup": _q_substring_dedup,
+        "anchor_stats": _q_anchor_stats,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -1552,4 +1661,80 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
         """,
         "kmeans": _kmeans_oracle_sql(),
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> ('0x' || substr(md5(array_to_string(t[i : i + 4], ' ')),
+                                            1, 15))::BIGINT))) AS w
+              FROM toks
+            ),
+            owner AS (SELECT w, min(doc_id) AS owner FROM wins GROUP BY w)
+            SELECT doc_id, count(*) AS dup_windows, min(owner) AS first_owner
+            FROM wins JOIN owner USING (w)
+            WHERE owner < doc_id
+            GROUP BY doc_id
+        """,
+        "anchor_stats": """
+            -- closed-form EXPECTED links per doc; the Spark side renders
+            -- the HTML and extracts with the real tokenizer UDF, so
+            -- equality proves strip + tag scan + attr walk + text()
+            WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ),
+            links AS (
+              SELECT doc_id,
+                     'http://site' || CAST((doc_id * 7 + i) % 40 AS VARCHAR)
+                       || '.example.com/p/' || CAST((doc_id + i) % 100 AS VARCHAR)
+                       AS href,
+                     trim(CASE i
+                       WHEN 0 THEN t[1] || ' page ' || CAST(doc_id % 100 AS VARCHAR)
+                       WHEN 1 THEN t[2] || ' page ' || CAST((doc_id + 1) % 100 AS VARCHAR)
+                       ELSE t[3] || ' & ' || CAST((doc_id + 2) % 100 AS VARCHAR)
+                     END) AS anchor
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS i) i
+              WHERE i <= doc_id % 3
+            ),
+            agg AS (
+              SELECT href, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+              FROM links GROUP BY href
+            ),
+            pa AS (
+              SELECT href, anchor, count(*) AS cnt FROM links GROUP BY href, anchor
+            ),
+            top AS (
+              SELECT href, anchor AS top_anchor FROM (
+                SELECT href, anchor, row_number() OVER (
+                         PARTITION BY href ORDER BY cnt DESC, anchor ASC) AS rn
+                FROM pa
+              ) WHERE rn = 1
+            )
+            SELECT a.href, n_refs, n_docs, top_anchor FROM agg a JOIN top USING (href)
+        """,
+        "domain_stats": f"""
+            WITH scored AS (
+              SELECT 'site' || CAST(doc_id % 40 AS VARCHAR)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END)
+                       AS tpd,
+                     CAST(round((least(greatest(len(string_split(lower(text), ' ')), 1)
+                                       / 100.0, 1.0) * 0.5
+                                 + (CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                                         AS DOUBLE) / greatest(len(text), 1)) * 0.5)
+                                * 1000000) AS BIGINT) AS q6,
+                     CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                                    w -> list_contains({_SW_SQL}, w)))
+                               AS DOUBLE)
+                               / greatest(len(string_split(lower(text), ' ')), 1) >= 0.08
+                          THEN 1 ELSE 0 END AS is_en
+              FROM documents
+            )
+            SELECT tpd, count(*) AS n_docs,
+                   round(sum(q6) / (count(*) * 1000000.0), 6) AS mean_quality,
+                   round(sum(is_en) / CAST(count(*) AS DOUBLE), 6) AS en_fraction,
+                   (count(*) >= 3 AND sum(q6) / (count(*) * 1000000.0) >= 0.45) AS keep
+            FROM scored GROUP BY tpd
+        """,
     }

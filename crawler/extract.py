@@ -138,6 +138,56 @@ def find_hrefs_udf(text: pd.Series) -> pd.Series:
     )
 
 
+#: full anchor element: the open tag's attr region (group 1, same shape
+#: as _A_TAG_RE) plus the inner markup (group 2).  The inner text ends
+#: at the close tag, at the NEXT <a> open tag (the HTML tree builder
+#: implicitly closes an open anchor there — nested <a> is illegal), or
+#: at end-of-input (spec EOF handling).  The terminator is a LOOKAHEAD,
+#: not consumed, so a following anchor is still found by the same scan.
+_A_ELEM_RE = r"""(?is)<a(?=[\s/>])((?:"[^"]*"|'[^']*'|[^>])*)>(.*?)(?=</a\s*>|<a[\s/>]|$)"""
+
+#: any tag inside anchor inner markup — stripped for .text() semantics
+_INNER_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _anchor_text(inner: str) -> str:
+    """Jsoup Element.text() semantics for the anchor's inner markup:
+    drop nested tags, decode entities, collapse whitespace, trim."""
+    t = _INNER_TAG_RE.sub(" ", inner)
+    if "&" in t:
+        t = html.unescape(t)
+    return _WS_RE.sub(" ", t).strip()
+
+
+@pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("anchor", T.StringType()),
+            ]
+        )
+    )
+)
+def find_links_udf(text: pd.Series) -> pd.Series:
+    """(href, anchor-text) pairs of every a[href] element, in document
+    order — the web-graph anchor-text signal (what link corpora like
+    anchor-text training sets aggregate per target).  Same tag scan and
+    attribute walk as find_hrefs_udf; the anchor text follows Jsoup's
+    Element.text() (nested tags dropped, entities decoded, whitespace
+    collapsed).  One C-level regex pass per batch; the per-match walk
+    is list-building granularity, not per row."""
+    matches = _strip_dead_regions(text.fillna("")).str.findall(_A_ELEM_RE)
+    return matches.map(
+        lambda ms: [
+            {"href": h, "anchor": _anchor_text(inner)}
+            for h, inner in ((_href_of_tag(attrs), inner) for attrs, inner in ms)
+            if h is not None
+        ]
+    )
+
+
 @pandas_udf(T.StringType())
 def find_base_href_udf(text: pd.Series) -> pd.Series:
     """First <base href=...> of the document text ('' when absent) —
@@ -281,6 +331,20 @@ def py_find_hrefs(text: str) -> list[str]:
         h = _href_of_tag(m.group(1))
         if h is not None:
             out.append(h)
+    return out
+
+
+_A_ELEM_SCALAR_RE = re.compile(_A_ELEM_RE)
+
+
+def py_find_links(text: str) -> list[tuple[str, str]]:
+    """Scalar twin of find_links_udf: (href, anchor-text) pairs."""
+    stripped = _STRIP_SCALAR_RE.sub("", text or "")
+    out = []
+    for m in _A_ELEM_SCALAR_RE.finditer(stripped):
+        h = _href_of_tag(m.group(1))
+        if h is not None:
+            out.append((h, _anchor_text(m.group(2))))
     return out
 
 

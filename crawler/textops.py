@@ -882,6 +882,107 @@ def contamination(
     )
 
 
+def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", the ExactSubstr criterion): a
+    document is flagged when any exact word-``n``-gram window of it
+    also occurs in an EARLIER document.  The paper builds a corpus
+    suffix array — inherently single-machine; the distributed analog
+    is a hashed-window inverted index: same membership decision at
+    window granularity, no global structure.
+
+    Returns (doc_id, dup_windows, first_owner) for flagged docs only:
+    ``dup_windows`` = distinct windows of the doc owned by an earlier
+    doc, ``first_owner`` = the earliest such owner.
+
+    Scale: windows hash to 60-bit longs JVM-side (md5+conv — one
+    expression per doc, identical in DuckDB) and are DISTINCT within
+    the doc before the explode, so the exploded stream is bounded by
+    corpus token count.  TWO shuffles total: (1) each window's first
+    owner is an unordered window-min over the hash — ONE exchange on
+    the 8-byte uniform key (a separate min-agg + join-back would
+    re-exchange the same stream; a hot window's partition is its copy
+    count, never the corpus); (2) the final doc agg, bounded by the
+    flagged set.  Never all-pairs, no suffix array.
+    """
+    win = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_expr("text", n),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("w"),
+    )
+    owner = F.min("doc_id").over(Window.partitionBy("w"))
+    return (
+        win.withColumn("owner", owner)
+        .where(F.col("owner") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.min("owner").alias("first_owner"),
+        )
+    )
+
+
+def domain_stats(
+    docs_with_host: DataFrame,
+    min_docs: int = 3,
+    min_quality: float = 0.45,
+) -> DataFrame:
+    """Domain-level curation rollup (the RefinedWeb/C4-style host gate:
+    curation decisions are made per registrable domain, not only per
+    document — a spam TPD is dropped wholesale).  Input carries
+    (doc_id, host, text); the TPD comes from the full-PSL engine
+    (crawler/urlnorm.tpd_expr) so politeness grouping and curation
+    grouping agree.
+
+    Per TPD: doc count, EXACT mean quality, English fraction, and the
+    keep/drop verdict.  The mean is fixed-point (1e6-scaled BIGINT sum
+    → one IEEE division) so it is order-independent and bit-identical
+    cross-engine — a float sum would ulp-drift with aggregation order.
+
+    Scale: quality/langid are fused into the scan's project (pure JVM
+    exprs), then ONE groupBy(tpd) with partial/final (map-side
+    combined) aggregation.  Mega-domains are sums, not collected lists,
+    so skew costs only combiner time.
+    """
+    from . import urlnorm
+
+    toks = tokens_expr("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    # single fixed-point rounding (no inner round(.,6) — double rounding
+    # could flip a half-boundary between engines)
+    quality = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5 + alpha_ratio * 0.5
+    )
+    is_en = (stopword_ratio_expr("text") >= 0.08).cast("long")
+    scored = docs_with_host.select(
+        urlnorm.tpd_expr(F.col("host")).alias("tpd"),
+        F.round(quality * 1_000_000).cast("long").alias("q6"),
+        is_en.alias("is_en"),
+    )
+    n = F.count("*")
+    return scored.groupBy("tpd").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("q6") / (n * 1_000_000.0), 6).alias("mean_quality"),
+        F.round(F.sum("is_en") / n.cast("double"), 6).alias("en_fraction"),
+        (
+            (n >= min_docs)
+            & (F.sum("q6") / (n * 1_000_000.0) >= min_quality)
+        ).alias("keep"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group: str,

@@ -177,3 +177,101 @@ def test_base_selection_first_with_href():
     assert extract.py_find_base_href(doc) == "/b1"
     _, twin_base = twin_extract(doc)
     assert twin_base == "/b1"
+
+
+# ------------------------------------------------ anchor-text extraction
+
+
+class AnchorTextTwin(HTMLParser):
+    """Independent twin for (href, anchor-text) extraction: Jsoup
+    Element.text() over each a[href] element, with the tree builder's
+    a-in-a implicit close and raw-text (script/style/textarea) skip."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._raw = 0
+
+    def _flush(self):
+        if self._href is not None:
+            import re as _re
+
+            txt = _re.sub(r"\s+", " ", "".join(self._buf)).strip()
+            self.links.append((self._href, txt))
+        self._href, self._buf = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style", "textarea"):
+            self._raw += 1
+            return
+        if self._raw:
+            return
+        if tag == "a":
+            self._flush()  # a-in-a implicitly closes the open anchor
+            self._href = next((v for k, v in attrs if k == "href"), None)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style", "textarea"):
+            self._raw = max(0, self._raw - 1)
+        elif tag == "a" and not self._raw:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None and not self._raw:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()  # EOF closes an open anchor
+
+
+def _anchor_snippets(rng):
+    u = _u(rng)
+    q = rng.choice(['"', "'"])
+    words = rng.choice(["alpha beta", "x &amp; y", "one  two\n three", "t"])
+    return [
+        f"<a href={q}{u}{q}>{words}</a>",
+        f"<a href={u.replace(' ', '')}>unquoted {words}</a>",
+        f"<a href={q}{u}{q}><b>{words}</b> tail</a>",
+        f"<a href={q}{u}{q}><span class='x'>{words}</span></a>",
+        f"<a href={q}{u}{q}></a>",  # empty anchor text
+        "<a>no href, no link</a>",
+        f"<A HREF={q}{u}{q}>CAPS {words}</A>",
+        # decoys between anchors — never links, never anchor text
+        f"<!-- <a href={q}{u}{q}>in comment</a> -->",
+        f"<script>var s = '<a href={q}{u}{q}>js</a>';</script>",
+        f"<textarea><a href={q}{u}{q}>ta</a></textarea>",
+        "<p>plain paragraph text</p>",
+    ]
+
+
+def test_fuzz_anchor_text_matches_independent_tokenizer():
+    rng = random.Random(20260819)
+    for i in range(400):
+        snips = _anchor_snippets(rng)
+        doc = "".join(rng.choice(snips) for _ in range(rng.randint(1, 12)))
+        ours = extract.py_find_links(doc)
+        twin = AnchorTextTwin()
+        twin.feed(doc)
+        twin.close()
+        theirs = [(h, t) for h, t in twin.links if h is not None]
+        assert ours == theirs, f"doc {i}: {doc!r}\nours={ours}\ntwin={theirs}"
+
+
+def test_anchor_text_goldens():
+    cases = {
+        # nested tags stripped, entities decoded, whitespace collapsed
+        '<a href="/x"><b>bold</b> &amp; plain\n  text</a>': [("/x", "bold & plain text")],
+        # a-in-a: the open anchor closes at the next <a> open
+        '<a href="/x">first <a href="/y">second</a>': [("/x", "first"), ("/y", "second")],
+        # unterminated anchor runs to EOF
+        '<a href="/x">to the end': [("/x", "to the end")],
+        # hrefless anchor yields nothing even with text
+        "<a>plain</a>": [],
+        # decoy regions are stripped before the scan
+        '<script><a href="/no">x</a></script><a href="/yes">ok</a>': [("/yes", "ok")],
+    }
+    for doc, want in cases.items():
+        assert extract.py_find_links(doc) == want, doc

@@ -103,3 +103,33 @@ def test_extract_twins_agree_on_fuzzed_html(spark):
         spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         expected = extract.py_extract_links(url, spans, None)
         assert sorted(got.get(url, [])) == sorted(expected), url
+
+
+def test_find_links_udf_matches_scalar_twin(spark):
+    """Arrow find_links_udf == py_find_links on fuzzed anchor HTML
+    (href + anchor text; decoys, quoting forms, nesting, EOF)."""
+    rng = random.Random(12)
+    frags = [
+        "<a href='/x{i}'><b>bold {i}</b> tail</a>",
+        '<a href="/y{i}">w &amp; {i}</a>',
+        "<a href=/u{i}>unquoted {i}</a>",
+        "<a href='/n{i}'>outer <a href='/m{i}'>inner</a>",
+        "<!--<a href='/dead{i}'>c</a>-->",
+        "<script>'<a href=/js{i}>s</a>'</script>",
+        "plain {i} words",
+        "<a href='/eof{i}'>runs to end",
+    ]
+    texts = []
+    for d in range(60):
+        texts.append(" ".join(
+            rng.choice(frags).replace("{i}", str(rng.randrange(50)))
+            for _ in range(rng.randrange(1, 8))
+        ))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: [(l["href"], l["anchor"]) for l in r["ls"]]
+        for r in df.select("i", extract.find_links_udf("text").alias("ls")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == extract.py_find_links(t), t

@@ -447,6 +447,62 @@ def test_contamination_planted_overlap(spark):
     assert out == {0: 2}
 
 
+def test_exact_substring_dedup_planted(spark):
+    # doc 1 copies a 5-word window from doc 0 (two overlapping 4-word
+    # windows would NOT trip n=5); doc 2 shares nothing; doc 3 copies
+    # from BOTH doc 0 and doc 1 -> first_owner is the earliest.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "xx alpha beta gamma delta epsilon yy"),
+        (2, "totally unrelated words in this document here"),
+        (3, "alpha beta gamma delta epsilon qq xx alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["dup_windows"], r["first_owner"])
+        for r in textops.exact_substring_dedup(docs, n=5).collect()
+    }
+    # doc 1 shares exactly one 5-gram window with doc 0
+    # doc 3 shares 2 distinct windows of doc 0/1's ("alpha..epsilon"
+    # and "xx alpha beta gamma delta" from doc 1) plus its own repeats
+    assert 0 not in out and 2 not in out
+    assert out[1] == (1, 0)
+    assert out[3][1] == 0 and out[3][0] >= 2
+
+
+def test_domain_stats_fixed_point_mean_and_verdict(spark):
+    rows = [
+        # 3 docs on kept.com: alphabetic text (quality ~high), stopwordy
+        (0, "good.kept.com", "the quick brown fox jumps over the lazy dog again"),
+        (1, "www.kept.com", "the fast red fox runs over the small hill today"),
+        (2, "cdn.kept.com", "the calm blue bird flies over the tall tree now"),
+        # 1 doc on thin.org: below min_docs -> dropped regardless
+        (3, "only.thin.org", "the single document of this domain is here"),
+        # 3 docs on junk.net: digit soup -> low alpha ratio -> dropped
+        (4, "a.junk.net", "111 222 333 444 555 666 777 888 999 000"),
+        (5, "b.junk.net", "123 456 789 012 345 678 901 234 567 890"),
+        (6, "c.junk.net", "999 888 777 666 555 444 333 222 111 000"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["tpd"]: r for r in textops.domain_stats(docs).collect()}
+    assert set(out) == {"kept.com", "thin.org", "junk.net"}
+    assert out["kept.com"]["n_docs"] == 3 and out["kept.com"]["keep"]
+    assert not out["thin.org"]["keep"]  # below min_docs
+    assert not out["junk.net"]["keep"]  # digit soup quality
+    assert out["kept.com"]["en_fraction"] == 1.0
+    assert out["junk.net"]["en_fraction"] == 0.0
+    # fixed-point mean: recompute exactly in python
+    import re as _re
+
+    def q6(text):
+        toks = text.lower().split(" ")
+        alpha = len(_re.sub("[^a-zA-Z ]", "", text)) / max(len(text), 1)
+        return round((min(max(len(toks), 1) / 100.0, 1.0) * 0.5 + alpha * 0.5) * 1e6)
+
+    exp = round(sum(q6(r[2]) for r in rows[:3]) / (3 * 1e6), 6)
+    assert out["kept.com"]["mean_quality"] == exp
+
+
 def test_topk_per_group_is_lossless_vs_plain_window(spark):
     # fuzz: the salted two-phase prune must equal the single-window rank
     import random
