@@ -999,6 +999,16 @@ def _q_anchor_stats(spark, sf):
     return agg.join(top, "href")
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher doc-quality gates (Rae et al. 2021 App. A1.1): word-count
+    bounds, mean word length, symbol-to-word ratio, alpha-word
+    fraction, distinct-stopword floor — all JVM exprs fused into the
+    scan (zero shuffles).  See crawler/textops.gopher_quality."""
+    from crawler.textops import gopher_quality
+
+    return gopher_quality(_read(spark, sf, "documents"))
+
+
 def _q_domain_stats(spark, sf):
     """Domain-level curation rollup (RefinedWeb/C4-style host gate):
     per registrable domain — via the full-PSL engine, so curation and
@@ -1061,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "anchor_stats": _q_anchor_stats,
         "domain_stats": _q_domain_stats,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1736,5 +1747,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(is_en) / CAST(count(*) AS DOUBLE), 6) AS en_fraction,
                    (count(*) >= 3 AND sum(q6) / (count(*) * 1000000.0) >= 0.45) AS keep
             FROM scored GROUP BY tpd
+        """,
+        "gopher_quality": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     string_split(lower(text), ' ') AS t,
+                     CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                       / greatest(len(string_split(lower(text), ' ')), 1) AS mwl,
+                     (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                      + (len(text) - len(replace(text, '...', ''))) / 3)
+                       / greatest(len(string_split(lower(text), ' ')), 1) AS sym,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> regexp_matches(w, '[a-zA-Z]')))
+                          AS DOUBLE)
+                       / greatest(len(string_split(lower(text), ' ')), 1) AS alpha,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                        {_SW_SQL})) AS n_sw
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   round(mwl, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_ratio,
+                   round(alpha, 6) AS alpha_frac,
+                   n_sw AS n_stopwords,
+                   (len(t) >= 50 AND len(t) <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND sym < 0.1 AND alpha > 0.8 AND n_sw >= 2) AS keep
+            FROM g
         """,
     }

@@ -882,6 +882,57 @@ def contamination(
     )
 
 
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality gates (Rae et al. 2021 App. A1.1; the
+    repetition rules live in repetition_stats): per doc — word count
+    bounds, mean word length in [3, 10], symbol-to-word ratio ('#' and
+    '…'/'...') < 0.1, ≥80% of words containing an alphabetic char, and
+    ≥2 distinct stopwords present.  The paper's LINE-based rules
+    (bullet/ellipsis line fractions) need newlines the synthetic corpus
+    doesn't carry; a real corpus adds them as two more array exprs over
+    split(text, '\\n').
+
+    Scale: every gate is a pure JVM expression fused into the scan's
+    project — zero shuffles, whole-stage codegen.  Gates evaluate on
+    UNROUNDED doubles (the same IEEE ops in the DuckDB twin), rounded
+    copies ride along for display.
+    """
+    toks = tokens_expr("text")
+    n_toks = F.size(toks)
+    n_d = F.greatest(n_toks, F.lit(1)).cast("double")
+    mwl = F.length(F.expr("replace(text, ' ', '')")) / n_d
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ell = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    sym = (n_hash + n_ell) / n_d
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) / n_d
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    keep = (
+        (n_toks >= min_words)
+        & (n_toks <= max_words)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (sym < 0.1)
+        & (alpha > 0.8)
+        & (n_sw >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        n_sw.alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
 def exact_substring_dedup(documents: DataFrame, n: int = 8) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better", the ExactSubstr criterion): a

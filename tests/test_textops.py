@@ -447,6 +447,21 @@ def test_contamination_planted_overlap(spark):
     assert out == {0: 2}
 
 
+def test_gopher_quality_gates(spark):
+    good = "the " + " ".join(f"word{i % 9}" for i in range(58)) + " of it"
+    short = "the quick brown fox of it"  # < 50 words
+    symbols = "the " + " ".join(["###"] * 58) + " of it"  # symbol ratio + alpha
+    onesw = " ".join(f"word{i % 9}" for i in range(60)) + " the"  # 1 stopword
+    rows = [(0, good), (1, short), (2, symbols), (3, onesw)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.gopher_quality(docs).collect()}
+    assert out[0]["keep"] and out[0]["n_tokens"] == 61
+    assert not out[1]["keep"]  # word count below 50
+    assert not out[2]["keep"] and out[2]["symbol_ratio"] > 0.1
+    assert not out[3]["keep"] and out[3]["n_stopwords"] == 1
+    assert out[0]["n_stopwords"] >= 3  # the, of, it
+
+
 def test_exact_substring_dedup_planted(spark):
     # doc 1 copies a 5-word window from doc 0 (two overlapping 4-word
     # windows would NOT trip n=5); doc 2 shares nothing; doc 3 copies
