@@ -37,7 +37,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
+from pyspark.sql import functions as F, types as T
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -125,6 +125,46 @@ class Table:
         if not files:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*files)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog scan between two snapshots (the Iceberg
+        incremental-read / changelog-scan analog): the rows a downstream
+        consumer (e.g. a training-data ingest job) needs to process to
+        move from snapshot ``from_version`` to ``to_version``, derived
+        PURELY from the manifest file-set diff — data files are
+        immutable, so a file present only in the newer snapshot is
+        wholly inserted rows and a file present only in the older one is
+        wholly deleted rows.  No row diffing, no data rewrite; the scan
+        reads exactly the changed files (appends: only the new files,
+        however large the table).
+
+        Returns the table schema plus ``_change_type``
+        ('insert' | 'delete').  Call it on two COMMITTED versions (the
+        Catalog's) — staged-but-uncommitted versions in between never
+        matter because the diff is endpoint-to-endpoint.
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        old = set(self.files(from_version))
+        new = set(self.files(to_v))
+        out = None
+        for files, kind in ((sorted(new - old), "insert"),
+                            (sorted(old - new), "delete")):
+            if not files:
+                continue
+            part = spark.read.schema(self.schema).parquet(*files).withColumn(
+                "_change_type", F.lit(kind)
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return spark.createDataFrame([], self.schema).withColumn(
+                "_change_type", F.lit("insert")
+            ).limit(0)
+        return out
 
     def read_pruned(
         self,

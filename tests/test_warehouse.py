@@ -305,3 +305,27 @@ def test_read_pruned_skips_files_and_matches_full_read(spark, wh_root):
     t2 = wh.table("plain", SCHEMA)
     v2 = t2.append(_df(spark, [(1, "a"), (2, "b")]))
     assert t2.read_pruned(spark, "k", {1}, version=v2).count() == 2
+
+
+def test_read_changes_incremental_scan(spark, wh_root):
+    """Iceberg-style changelog read: the manifest file-set diff yields
+    exactly the inserted/deleted rows between two snapshots, and an
+    append's incremental scan reads ONLY the new files."""
+    wh = Warehouse(wh_root)
+    t = wh.table("cdc", SCHEMA)
+    v1 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    # append: only the new rows, all inserts
+    ch = t.read_changes(spark, v1, v2).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(3, "insert")]
+    # full history from empty
+    ch0 = t.read_changes(spark, 0, v2)
+    assert ch0.where("_change_type = 'insert'").count() == 3
+    # overwrite: old files deleted, new inserted
+    v3 = t.overwrite(_df(spark, [(9, "z")]))
+    ch2 = t.read_changes(spark, v2, v3)
+    got = {(r["k"], r["_change_type"]) for r in ch2.collect()}
+    assert got == {(9, "insert"), (1, "delete"), (2, "delete"), (3, "delete")}
+    # no change -> empty frame with the change column
+    empty = t.read_changes(spark, v2, v2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
