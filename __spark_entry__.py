@@ -951,21 +951,27 @@ def _q_anchor_stats(spark, sf):
             F.lit(".example.com/p/"), ((k + i) % 100).cast("string"),
         )
 
+    # null-safe word pick (F.get, not element_at: ANSI mode throws on an
+    # out-of-range index; a <3-word doc must degrade, not crash) — the
+    # SQL twin coalesces identically
+    def word(i):
+        return F.coalesce(F.get(w, i), F.lit("w"))
+
     seg0 = F.concat(
-        F.lit('<a href="'), tgt(0), F.lit('"><b>'), F.element_at(w, 1),
+        F.lit('<a href="'), tgt(0), F.lit('"><b>'), word(0),
         F.lit("</b> page "), (k % 100).cast("string"), F.lit("</a>"),
     )
     seg1 = F.when(
         k % 3 >= 1,
         F.concat(
-            F.lit("<a href='"), tgt(1), F.lit("'>"), F.element_at(w, 2),
+            F.lit("<a href='"), tgt(1), F.lit("'>"), word(1),
             F.lit(" page "), ((k + 1) % 100).cast("string"), F.lit("</a>"),
         ),
     ).otherwise(F.lit(""))
     seg2 = F.when(
         k % 3 >= 2,
         F.concat(
-            F.lit("<a href="), tgt(2), F.lit(">"), F.element_at(w, 3),
+            F.lit("<a href="), tgt(2), F.lit(">"), word(2),
             F.lit(" &amp; "), ((k + 2) % 100).cast("string"), F.lit("</a>"),
         ),
     ).otherwise(F.lit(""))
@@ -1702,9 +1708,9 @@ def oracle_sql() -> dict[str, str]:
                        || '.example.com/p/' || CAST((doc_id + i) % 100 AS VARCHAR)
                        AS href,
                      trim(CASE i
-                       WHEN 0 THEN t[1] || ' page ' || CAST(doc_id % 100 AS VARCHAR)
-                       WHEN 1 THEN t[2] || ' page ' || CAST((doc_id + 1) % 100 AS VARCHAR)
-                       ELSE t[3] || ' & ' || CAST((doc_id + 2) % 100 AS VARCHAR)
+                       WHEN 0 THEN coalesce(t[1], 'w') || ' page ' || CAST(doc_id % 100 AS VARCHAR)
+                       WHEN 1 THEN coalesce(t[2], 'w') || ' page ' || CAST((doc_id + 1) % 100 AS VARCHAR)
+                       ELSE coalesce(t[3], 'w') || ' & ' || CAST((doc_id + 2) % 100 AS VARCHAR)
                      END) AS anchor
               FROM d, (SELECT unnest(generate_series(0, 2)) AS i) i
               WHERE i <= doc_id % 3
