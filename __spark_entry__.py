@@ -862,7 +862,9 @@ def _q_kmeans(spark, sf):
     return kmeans_spherical(_read(spark, sf, "embeddings"), k=8, n_iter=3)
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8, n_iter: int = 3, dim: int = 64, final_select: str | None = None
+) -> str:
     """Unrolled SQL twin of kmeans_spherical: per round an assignment
     CTE (row_number over rounded cosine, ties to the lowest cluster)
     and a centroid CTE (exact BIGINT fixed-point sums → one double
@@ -910,8 +912,52 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
         parts.append("," + assign(r, f"c{r - 1}"))
         parts.append("," + cents(r))
     parts.append("," + assign(n_iter + 1, f"c{n_iter}"))
-    parts.append(f"\nSELECT vec_id, cluster, cos FROM a{n_iter + 1}")
+    if final_select is None:
+        final_select = f"\nSELECT vec_id, cluster, cos FROM a{n_iter + 1}"
+    parts.append(final_select)
     return "".join(parts)
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, n_iter: int = 3, dim: int = 64, tau: float = 0.35
+) -> str:
+    """SemDeDup twin: the unrolled k-means CTE chain (shared with the
+    ``kmeans`` oracle term for term), then within-cluster pairs at
+    6dp-rounded cosine ≥ tau, loser = higher centroid-cos (tie: higher
+    vec_id), keep = never a loser."""
+    n = n_iter + 1
+    final = f"""
+        , km AS (SELECT vec_id, v, cluster, cos FROM a{n}),
+        p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 a.cos AS a_cos, b.cos AS b_cos
+          FROM km a JOIN km b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))), 6) >= {tau}
+        ),
+        d AS (
+          SELECT DISTINCT CASE WHEN a_cos > b_cos
+                                 OR (a_cos = b_cos AND a_id > b_id)
+                               THEN a_id ELSE b_id END AS vec_id
+          FROM p
+        )
+        SELECT km.vec_id, km.cluster, km.cos,
+               (d.vec_id IS NULL) AS keep
+        FROM km LEFT JOIN d ON km.vec_id = d.vec_id"""
+    return _kmeans_oracle_sql(k=k, n_iter=n_iter, dim=dim, final_select=final)
+
+
+def _q_semdedup(spark, sf):
+    """Semantic dedup over embeddings (SemDeDup, Abbas et al. 2023):
+    k-means bounds the pair search to within-cluster blocks, cosine ≥
+    tau flags a dup pair, the member closer to its centroid loses
+    (keep the outlier).  See crawler/textops.semdedup (plan notes).
+    The oracle reuses the kmeans unrolled CTE chain term for term."""
+    from crawler.textops import semdedup
+
+    return semdedup(_read(spark, sf, "embeddings"), k=8, n_iter=3, tau=0.35)
 
 
 def _q_substring_dedup(spark, sf):
@@ -1074,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": _q_tfidf_top,
         "sessionize": _q_sessionize,
         "kmeans": _q_kmeans,
+        "semdedup": _q_semdedup,
         "substring_dedup": _q_substring_dedup,
         "anchor_stats": _q_anchor_stats,
         "domain_stats": _q_domain_stats,
@@ -1678,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
         """,
         "kmeans": _kmeans_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "substring_dedup": """
             WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

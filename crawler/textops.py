@@ -1209,3 +1209,62 @@ def kmeans_spherical(
         final.getField("cos").alias("cos"),
     )
     return out
+
+
+def semdedup(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 3, tau: float = 0.35
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the
+    embedding space, then search for duplicate pairs ONLY within a
+    cluster — the cluster structure bounds the quadratic pair search to
+    per-cluster blocks (the paper's trick for 100M+ LAION vectors).
+    Within a cluster, a pair with cosine ≥ ``tau`` is a semantic dup;
+    per the paper's keep rule the member with the LOWER cosine to its
+    cluster centroid survives (keep the outlier — it carries more
+    information), ties to the lower vec_id.  A vector is dropped iff it
+    loses any dup pair.  Returns (vec_id, cluster, cos, keep).
+
+    Composition: clustering = kmeans_spherical (exact fixed-point
+    centroids, 6dp-rounded assignment — the cross-engine-deterministic
+    kernel), pair verify = the same 6dp-rounded JVM cosine the
+    dedup_embedding path uses.
+
+    Scale: ONE extra shuffle beyond the k-means rounds — the self-join
+    keys on cluster, so work is sum over clusters of size², never
+    corpus².  At 1e10 vectors the paper sizes k so clusters stay
+    O(1e4-1e5) rows (k ≈ n/target); a pathological mega-cluster would
+    sub-block by a salted second hash exactly like the politeness
+    mega-host prune (topk_per_group's salt).  The drop verdict is a
+    distinct on the loser ids (bounded by the pair count) and one
+    left join back — both AQE-sized.
+    """
+    km = kmeans_spherical(embeddings, k=k, n_iter=n_iter)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    side = km.join(emb, "vec_id").select("vec_id", "cluster", "cos", "v")
+    a, b = side.alias("a"), side.alias("b")
+    pair_cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).where(pair_cos >= F.lit(tau))
+    loser = F.when(
+        (F.col("a.cos") > F.col("b.cos"))
+        | (
+            (F.col("a.cos") == F.col("b.cos"))
+            & (F.col("a.vec_id") > F.col("b.vec_id"))
+        ),
+        F.col("a.vec_id"),
+    ).otherwise(F.col("b.vec_id"))
+    dropped = pairs.select(loser.alias("vec_id")).distinct().withColumn(
+        "_dropped", F.lit(True)
+    )
+    return km.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "cos",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+    )

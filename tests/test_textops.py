@@ -637,3 +637,65 @@ def test_kmeans_spherical_matches_numpy_lloyd(spark):
     assert {got[1][0], got[2][0]} == {1, 2}
     assert all(got[vid][0] == got[1][0] for vid in range(1, 41, 2))
     assert all(got[vid][0] == got[2][0] for vid in range(2, 41, 2))
+
+
+def test_semdedup_matches_numpy_mirror(spark):
+    """SemDeDup (Abbas et al. 2023) planted geometry: two clusters with
+    one near-identical pair planted in each, plus an exact duplicate
+    (centroid-cos tie → higher vec_id loses).  Expected keep set comes
+    from an independent numpy mirror of the full spec: the kmeans
+    kernel (seed centroids, rounded argmax, fixed-point means) then
+    within-cluster pairs at rounded cosine ≥ tau, loser = higher
+    centroid-cos / higher id."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = {1: np.array([1.0, 0, 0, 0]), 2: np.array([0, 1.0, 0, 0])}
+    rows = []
+    for vid in range(1, 31):
+        c = base[1 if vid % 2 else 2]
+        rows.append((vid, (c + rng.normal(0, 0.25, 4)).astype("float32").tolist()))
+    # planted near-identical pairs: 31 ≈ 3's vector, 32 == 4's exactly
+    v3 = np.array(rows[2][1], dtype="float32")
+    rows.append((31, (v3 + np.float32(1e-3)).astype("float32").tolist()))
+    rows.append((32, rows[3][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau = 0.995
+    got = {
+        r["vec_id"]: (r["cluster"], r["cos"], r["keep"])
+        for r in textops.semdedup(emb, k=2, n_iter=2, tau=tau).collect()
+    }
+
+    # numpy mirror
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    cents = {1: vecs[1].copy(), 2: vecs[2].copy()}
+
+    def rcos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    def argmax(v):
+        best = max(sorted(cents), key=lambda c: (rcos(v, cents[c]), -c))
+        return best, rcos(v, cents[best])
+
+    for _ in range(2):
+        groups = {}
+        for vid, v in vecs.items():
+            groups.setdefault(argmax(v)[0], []).append(v)
+        for c in cents:
+            if c in groups:
+                s = np.sum([np.round(v * 1e6) for v in groups[c]], axis=0)
+                cents[c] = s / (len(groups[c]) * 1e6)
+    asg = {vid: argmax(v) for vid, v in vecs.items()}
+    losers = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if asg[a][0] != asg[b][0] or rcos(vecs[a], vecs[b]) < tau:
+                continue
+            ca, cb = asg[a][1], asg[b][1]
+            losers.add(a if (ca > cb or (ca == cb and a > b)) else b)
+    want = {vid: (asg[vid][0], asg[vid][1], vid not in losers) for vid in vecs}
+    assert got == want
+    # the planted dups actually dropped one member each, nothing else
+    assert losers and all(not got[v][2] for v in losers)
+    assert {3, 31} & losers and {4, 32} & losers
