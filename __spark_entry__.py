@@ -1081,6 +1081,92 @@ def _q_domain_stats(spark, sf):
     return domain_stats(docs.select("doc_id", host.alias("host"), "text"))
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (pandas merge_asof / kdb aj semantics): every click
+    event picks, per user, the latest view event at-or-before it.
+    Implemented as union + window last(ignorenulls) — ONE exchange on
+    user_id, zero joins (crawler/timeseries.asof_join); the DuckDB
+    oracle is the engine's own independent ASOF LEFT JOIN.  Nulls
+    (click before any view / user with no views) coalesce to -1
+    sentinels so the value-hash never depends on null stringification."""
+    from crawler.timeseries import asof_join
+
+    ev = _read(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    j = asof_join(clicks, views, ["user_id"], "ts", ["view_id", "view_value"])
+    click_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    view_us = F.unix_micros(F.col("ts_asof").cast("timestamp"))
+    return j.select(
+        "click_id",
+        "user_id",
+        click_us.alias("click_us"),
+        "click_value",
+        F.coalesce(F.col("view_id_asof"), F.lit(-1)).alias("view_id"),
+        F.coalesce(view_us, F.lit(-1)).alias("view_us"),
+        F.coalesce(F.col("view_value_asof"), F.lit(-1.0)).alias("view_value"),
+        F.coalesce(click_us - view_us, F.lit(-1)).alias("stale_us"),
+    )
+
+
+def _q_range_join(spark, sf):
+    """Interval join without a nested-loop: heavy lineitems (quantity ≥
+    48) matched to every URGENT order whose [orderdate, +7d) window
+    covers the shipdate — no key equality, pure range predicate.
+    crawler/timeseries.range_join bucketizes time so the pair search is
+    an equi-join on bucket (points own ONE bucket → no dedup); the
+    DuckDB oracle runs the bare inequality join (its IEJoin path — an
+    independent algorithm)."""
+    from crawler.timeseries import range_join
+
+    li = (
+        _read(spark, sf, "lineitem")
+        .where(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+    od = (
+        _read(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("o_enddate"),
+        )
+    )
+    j = range_join(li, od, "l_shipdate", "o_orderdate", "o_enddate",
+                   bucket_s=7 * 86400)
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_qty"),
+    )
+
+
+def _q_hypertable_rollup(spark, sf):
+    """Hypertable-style multi-granularity rollup (TimescaleDB
+    continuous-aggregate shape): hour/day/week × event_type counts and
+    exact decimal value totals in ONE pass — a single GROUPING SETS
+    Expand + one partially-aggregated exchange instead of three scans
+    (crawler/timeseries.rollup_time_buckets).  The oracle is the
+    independent formulation: three UNION ALL'd GROUP BYs."""
+    from crawler.timeseries import rollup_time_buckets
+
+    return rollup_time_buckets(
+        _read(spark, sf, "events"), "ts", ["event_type"], "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -1125,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "domain_stats": _q_domain_stats,
         "gopher_quality": _q_gopher_quality,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "hypertable_rollup": _q_hypertable_rollup,
     }
 
 
@@ -1829,5 +1918,59 @@ def oracle_sql() -> dict[str, str]:
                     AND mwl >= 3.0 AND mwl <= 10.0
                     AND sym < 0.1 AND alpha > 0.8 AND n_sw >= 2) AS keep
             FROM g
+        """,
+        # DuckDB's native ASOF LEFT JOIN — an independent engine
+        # implementation of the same backward-≤ semantics
+        "asof_join": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, ts, value AS click_value
+              FROM events WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT user_id, ts AS vts, event_id AS view_id,
+                     value AS view_value
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.click_id, c.user_id,
+                   epoch_us(c.ts) AS click_us, c.click_value,
+                   coalesce(v.view_id, -1) AS view_id,
+                   coalesce(epoch_us(v.vts), -1) AS view_us,
+                   coalesce(v.view_value, -1.0) AS view_value,
+                   coalesce(epoch_us(c.ts) - epoch_us(v.vts), -1) AS stale_us
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND v.vts <= c.ts
+        """,
+        # bare inequality join — DuckDB plans this as IEJoin, an
+        # independent algorithm from the bucket-explode equi-join
+        "range_join": """
+            SELECT o.o_orderkey,
+                   count(*) AS n_shipped,
+                   round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18, 4)))
+                              AS DOUBLE), 4) AS sum_qty
+            FROM orders o JOIN lineitem l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 48
+            GROUP BY o.o_orderkey
+        """,
+        # independent formulation: three UNION ALL'd single-grain
+        # GROUP BYs vs Spark's one-pass GROUPING SETS
+        "hypertable_rollup": """
+            SELECT 'hour' AS grain,
+                   epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE), 4)
+                     AS total_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', epoch_us(date_trunc('day', ts)), event_type,
+                   count(*),
+                   round(CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE), 4)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week', epoch_us(date_trunc('week', ts)), event_type,
+                   count(*),
+                   round(CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE), 4)
+            FROM events GROUP BY 2, 3
         """,
     }
