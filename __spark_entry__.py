@@ -1153,6 +1153,48 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_media_resize(spark, sf):
+    """Multimodal RESIZE: numpy SIMG decode → nearest-neighbor 4×4
+    downsample (integer index math) → resized pixel block + channel
+    means (textops.media_resize_features).  The DuckDB oracle
+    recomputes every picked pixel from the md5 hex stream — the resize
+    itself is value-checked end-to-end, pixel for pixel."""
+    from crawler.synth import md5_image_blobs
+    from crawler.textops import media_resize_features
+
+    docs = _read(spark, sf, "documents").where("doc_id < 100")
+    refs = docs.select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    out = media_resize_features(md5_image_blobs(refs))
+    return out.select(
+        "media_ref", "width", "height", "out_w", "out_h", "pixels_csv",
+        F.round("r_mean", 6).alias("r_mean"),
+        F.round("g_mean", 6).alias("g_mean"),
+        F.round("b_mean", 6).alias("b_mean"),
+    )
+
+
+def _q_frame_sample(spark, sf):
+    """Multimodal FRAME SAMPLING: numpy SVID decode → every-3rd-frame
+    sample → one row per sampled frame with per-frame stats
+    (textops.frame_sample_features — the 1→N fan-out of a video
+    pipeline).  The DuckDB oracle regenerates each sampled frame's
+    pixels from the md5 stream and recomputes the stats."""
+    from crawler.synth import md5_video_blobs
+    from crawler.textops import frame_sample_features
+
+    docs = _read(spark, sf, "documents").where("doc_id < 100")
+    refs = docs.select(
+        F.concat(F.lit("vid://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    out = frame_sample_features(md5_video_blobs(refs), stride=3)
+    return out.select(
+        "media_ref", "frame_idx", "n_frames", "width", "height",
+        F.round("mean", 6).alias("mean"), "first_byte",
+    )
+
+
 def _q_hypertable_rollup(spark, sf):
     """Hypertable-style multi-granularity rollup (TimescaleDB
     continuous-aggregate shape): hour/day/week × event_type counts and
@@ -1214,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "hypertable_rollup": _q_hypertable_rollup,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1972,5 +2016,79 @@ def oracle_sql() -> dict[str, str]:
                    count(*),
                    round(CAST(sum(CAST(value AS DECIMAL(18, 4))) AS DOUBLE), 4)
             FROM events GROUP BY 2, 3
+        """,
+        # every resized pixel recomputed from the md5 hex stream:
+        # src = (dst * src_dim) // out_dim, p = (sy*w + sx)*3 + ch,
+        # byte = md5(ref ':' p//16)[p%16] — pixel-for-pixel resize check
+        "media_resize": """
+            WITH refs AS (
+              SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+              FROM documents WHERE doc_id < 100
+            ),
+            dims AS (
+              SELECT media_ref,
+                     8 + (('0x' || substr(md5(media_ref), 1, 2))::INT % 25) AS w,
+                     8 + (('0x' || substr(md5(media_ref), 3, 2))::INT % 25) AS h
+              FROM refs
+            ),
+            grid AS (
+              SELECT media_ref, w, h, i.i AS i,
+                     (i.i // 12) AS y, ((i.i // 3) % 4) AS x, (i.i % 3) AS ch
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, 47)) AS i) i
+            ),
+            vals AS (
+              SELECT media_ref, w, h, i, ch,
+                     ('0x' || substr(
+                        md5(media_ref || ':' ||
+                            CAST((((((y * h) // 4) * w + ((x * w) // 4)) * 3
+                                   + ch) // 16) AS VARCHAR)),
+                        ((((((y * h) // 4) * w + ((x * w) // 4)) * 3 + ch)
+                          % 16) * 2) + 1, 2))::INT AS b
+              FROM grid
+            )
+            SELECT media_ref, w AS width, h AS height,
+                   4 AS out_w, 4 AS out_h,
+                   string_agg(CAST(b AS VARCHAR), ',' ORDER BY i)
+                     AS pixels_csv,
+                   round(avg(CASE WHEN ch = 0 THEN b END), 6) AS r_mean,
+                   round(avg(CASE WHEN ch = 1 THEN b END), 6) AS g_mean,
+                   round(avg(CASE WHEN ch = 2 THEN b END), 6) AS b_mean
+            FROM vals GROUP BY media_ref, w, h
+        """,
+        # sampled frames (0, 3, 6, …) regenerated from the md5 stream:
+        # global pixel p = f*w*h*3 + i over the whole video
+        "frame_sample": """
+            WITH refs AS (
+              SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref
+              FROM documents WHERE doc_id < 100
+            ),
+            dims AS (
+              SELECT media_ref,
+                     4 + (('0x' || substr(md5(media_ref), 1, 2))::INT % 13) AS nf,
+                     4 + (('0x' || substr(md5(media_ref), 3, 2))::INT % 9) AS w,
+                     4 + (('0x' || substr(md5(media_ref), 5, 2))::INT % 9) AS h
+              FROM refs
+            ),
+            fr AS (
+              SELECT media_ref, nf, w, h, f.f AS f
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, nf - 1, 3)) AS f) f
+            ),
+            vals AS (
+              SELECT media_ref, nf, w, h, f, i.i AS i,
+                     ('0x' || substr(
+                        md5(media_ref || ':' ||
+                            CAST(((f * w * h * 3 + i.i) // 16) AS VARCHAR)),
+                        (((f * w * h * 3 + i.i) % 16) * 2) + 1, 2))::INT AS b
+              FROM fr,
+                   LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) i
+            )
+            SELECT media_ref, CAST(f AS INT) AS frame_idx,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   round(avg(b), 6) AS mean,
+                   max(CASE WHEN i = 0 THEN b END) AS first_byte
+            FROM vals GROUP BY media_ref, f, nf, w, h
         """,
     }

@@ -34,6 +34,9 @@ Module map (SURVEY.md §7):
   job         spark-submit --py-files entrypoint + crawler.zip packaging
   oracle      single-threaded reference-semantics crawler (golden generator)
   textops     training-data ops: dedup (minhash/simhash), knn, langid, quality
+  timeseries  as-of join (union+window), bucketized range join, one-pass
+              GROUPING SETS hypertable rollup
+  graph       link-graph analytics: degrees, pagerank, connected components
 """
 
 __version__ = "0.1.0"

@@ -184,6 +184,52 @@ def md5_image_blobs(refs: DataFrame) -> DataFrame:
     )
 
 
+def md5_video_blobs(refs: DataFrame) -> DataFrame:
+    """SVID payloads whose frame pixels are the md5 stream of the ref —
+    deterministic AND reproducible in SQL, so the frame-sampling stage
+    (textops.frame_sample_features) can be value-checked by a DuckDB
+    oracle end-to-end (the video twin of md5_image_blobs):
+
+      n_frames = 4 + md5(ref)[0] % 13   (4..16)
+      w        = 4 + md5(ref)[1] % 9    (4..12)
+      h        = 4 + md5(ref)[2] % 9
+      c        = 3
+      pixels[16k..16k+15] = md5(ref ':' k)   (one global stream over
+                                              ALL frames, row-major)
+
+    Input: DataFrame(media_ref string) → (media_ref, blob binary)."""
+    import hashlib
+
+    from .textops import SVID_MAGIC
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                d = hashlib.md5(ref.encode()).digest()
+                nf, w, h, c = 4 + d[0] % 13, 4 + d[1] % 9, 4 + d[2] % 9, 3
+                n_px = nf * w * h * c
+                chunks = [
+                    hashlib.md5(f"{ref}:{k}".encode()).digest()
+                    for k in range(-(-n_px // 16))
+                ]
+                px = b"".join(chunks)[:n_px]
+                blob = (
+                    SVID_MAGIC
+                    + nf.to_bytes(2, "big")
+                    + w.to_bytes(2, "big")
+                    + h.to_bytes(2, "big")
+                    + bytes([c])
+                    + px
+                )
+                rows.append((ref, blob))
+            yield pd.DataFrame(rows, columns=["media_ref", "blob"])
+
+    return refs.select("media_ref").mapInPandas(
+        gen, schema="media_ref string, blob binary"
+    )
+
+
 def synth_media_blobs(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
     """Deterministic binary image payloads in the SIMG raw container
     (textops.SIMG_MAGIC): header + w·h·c uint8 pixels.  Stands in for

@@ -753,6 +753,145 @@ def media_decode_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+#: magic header of the synthetic raw-video container (see
+#: synth.md5_video_blobs): SVID | n_frames u16 | width u16 | height u16 | ch u8
+SVID_MAGIC = b"SVID"
+
+#: resized-image schema: dims + the resized pixel block itself (csv —
+#: dtype-neutral for cross-engine value comparison) + channel means
+MEDIA_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels_csv", T.StringType()),
+        T.StructField("r_mean", T.DoubleType()),
+        T.StructField("g_mean", T.DoubleType()),
+        T.StructField("b_mean", T.DoubleType()),
+    ]
+)
+
+#: sampled-frame schema: one row PER SAMPLED FRAME (1→N fan-out)
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def resize_nearest(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an (h, w, c) uint8 image — pure
+    integer index math (``src = (dst * src_dim) // out_dim``), so the
+    SQL oracle reproduces pixel picks exactly; swapping in a real
+    resampler (PIL/cv2 bilinear) is a one-function change."""
+    h, w = img.shape[0], img.shape[1]
+    sy = (np.arange(out_h) * h) // out_h
+    sx = (np.arange(out_w) * w) // out_w
+    return img[sy][:, sx]
+
+
+def media_resize_features(
+    blobs: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """Multimodal RESIZE stage: decode the SIMG container (numpy
+    frombuffer/reshape — decode_image_features' parse) and
+    nearest-neighbor downsample to (out_w × out_h), emitting the
+    resized pixel block plus per-channel means.  The classic
+    thumbnail/feature-prep step of an image training pipeline, with the
+    Spark plumbing real: binary column in, Arrow batches through
+    mapInPandas, fixed-size feature block out.
+
+    Scale: one scan, zero shuffles — the stage is embarrassingly
+    parallel per image; partition sizing is governed by blob bytes per
+    Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch), not row
+    count."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else None
+                if b is None or b[:4] != SIMG_MAGIC or len(b) < 9:
+                    continue
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                c = b[8]
+                px = np.frombuffer(b, dtype=np.uint8, offset=9)
+                if len(px) != w * h * c:
+                    continue
+                r = resize_nearest(px.reshape(h, w, c), out_w, out_h)
+                flat = r.reshape(-1).astype(np.int64)
+                means = r.reshape(-1, c).mean(axis=0)
+                rows.append(
+                    (
+                        ref, w, h, out_w, out_h,
+                        ",".join(map(str, flat.tolist())),
+                        float(means[0]), float(means[1]), float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_RESIZE_SCHEMA.fields]
+            )
+
+    return blobs.select("media_ref", "blob").mapInPandas(
+        gen, schema=MEDIA_RESIZE_SCHEMA
+    )
+
+
+def frame_sample_features(blobs: DataFrame, stride: int = 3) -> DataFrame:
+    """Multimodal FRAME-SAMPLING stage: decode the SVID raw-video
+    container (numpy frombuffer/reshape — no video libs needed) and
+    emit one row per sampled frame (frames 0, stride, 2·stride, …) with
+    per-frame pixel statistics — the 1→N fan-out shape of a video
+    training pipeline (sample → per-frame feature extract).  Swapping
+    in real video means replacing the container parse with a
+    PyAV/ffmpeg call; the Spark plumbing (binary in, Arrow batches,
+    multi-row yield per input) is identical.
+
+    Scale: one scan, zero shuffles; output rows ≈ input × n_frames /
+    stride, so downstream stages see the fan-out, not this one."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else None
+                if b is None or b[:4] != SVID_MAGIC or len(b) < 11:
+                    continue
+                nf = int.from_bytes(b[4:6], "big")
+                w = int.from_bytes(b[6:8], "big")
+                h = int.from_bytes(b[8:10], "big")
+                c = b[10]
+                px = np.frombuffer(b, dtype=np.uint8, offset=11)
+                if len(px) != nf * w * h * c:
+                    continue
+                frames = px.reshape(nf, h, w, c)
+                for f in range(0, nf, stride):
+                    fr = frames[f]
+                    rows.append(
+                        (
+                            ref, f, nf, w, h,
+                            float(fr.astype(np.float64).mean()),
+                            int(fr.reshape(-1)[0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+            )
+
+    return blobs.select("media_ref", "blob").mapInPandas(
+        gen, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
 def media_features(media_refs: DataFrame, decode: bool = False) -> DataFrame:
     """Multimodal feature plumbing over opaque media REFS (no payload).
 

@@ -699,3 +699,87 @@ def test_semdedup_matches_numpy_mirror(spark):
     # the planted dups actually dropped one member each, nothing else
     assert losers and all(not got[v][2] for v in losers)
     assert {3, 31} & losers and {4, 32} & losers
+
+
+def test_media_resize_nearest_numpy_mirror(spark):
+    """Resize stage vs an inline numpy mirror: exact nearest-neighbor
+    pixel picks (src = dst*src//out), identity when out == src dims,
+    corrupt/truncated/foreign blobs silently skipped."""
+    import numpy as np
+
+    from crawler.textops import SIMG_MAGIC, media_resize_features
+
+    def simg(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+        return (
+            SIMG_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+            + bytes([3]) + px.tobytes()
+        ), px.reshape(h, w, 3)
+
+    b1, img1 = simg(10, 7, 1)
+    b2, img2 = simg(4, 4, 2)  # identity: out dims == src dims
+    rows = [
+        ("ok://1", bytearray(b1)),
+        ("ok://2", bytearray(b2)),
+        ("bad://magic", bytearray(b"XXXX" + b1[4:])),
+        ("bad://trunc", bytearray(b1[:20])),
+        ("bad://null", None),
+    ]
+    got = {
+        r["media_ref"]: r
+        for r in media_resize_features(
+            spark.createDataFrame(rows, "media_ref string, blob binary")
+        ).collect()
+    }
+    assert set(got) == {"ok://1", "ok://2"}  # bad blobs skipped, not crashed
+    for ref, img in (("ok://1", img1), ("ok://2", img2)):
+        h, w = img.shape[0], img.shape[1]
+        sy = (np.arange(4) * h) // 4
+        sx = (np.arange(4) * w) // 4
+        want = img[sy][:, sx]
+        assert got[ref]["pixels_csv"] == ",".join(
+            map(str, want.reshape(-1).tolist())
+        )
+        assert got[ref]["r_mean"] == float(want[:, :, 0].mean())
+    assert got["ok://2"]["pixels_csv"] == ",".join(
+        map(str, img2.reshape(-1).tolist())
+    )  # 4x4 -> 4x4 is the identity
+
+
+def test_frame_sample_numpy_mirror(spark):
+    """Frame sampling vs an inline mirror: stride picks 0,3,6,…, the
+    per-frame stats come from the right frame slice, corrupt blobs
+    skipped, and a video shorter than one stride still yields frame 0."""
+    import numpy as np
+
+    from crawler.textops import SVID_MAGIC, frame_sample_features
+
+    def svid(nf, w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, nf * w * h * 3, dtype=np.uint8)
+        return (
+            SVID_MAGIC + nf.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + h.to_bytes(2, "big") + bytes([3]) + px.tobytes()
+        ), px.reshape(nf, h, w, 3)
+
+    b1, v1 = svid(7, 5, 4, 1)   # frames 0, 3, 6
+    b2, v2 = svid(2, 3, 3, 2)   # shorter than stride: frame 0 only
+    rows = [
+        ("v://1", bytearray(b1)),
+        ("v://2", bytearray(b2)),
+        ("bad://magic", bytearray(b"YYYY" + b1[4:])),
+        ("bad://short", bytearray(b1[:-5])),
+    ]
+    got = {}
+    for r in frame_sample_features(
+        spark.createDataFrame(rows, "media_ref string, blob binary"), stride=3
+    ).collect():
+        got.setdefault(r["media_ref"], {})[r["frame_idx"]] = r
+    assert set(got) == {"v://1", "v://2"}
+    assert sorted(got["v://1"]) == [0, 3, 6] and sorted(got["v://2"]) == [0]
+    for ref, vid in (("v://1", v1), ("v://2", v2)):
+        for f, r in got[ref].items():
+            assert r["n_frames"] == vid.shape[0]
+            assert r["mean"] == float(vid[f].astype(np.float64).mean())
+            assert r["first_byte"] == int(vid[f].reshape(-1)[0])
