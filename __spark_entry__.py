@@ -1153,6 +1153,18 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_length_quantiles(spark, sf):
+    """Exact grouped quantiles (p50/p90/p99 whitespace-token length per
+    predicted language) — textops.length_quantiles.  Spark's exact
+    percentile aggregate is a value→count histogram with map-side
+    merge (state = distinct lengths, not rows); the oracle is DuckDB's
+    independent quantile_cont (bit-identical linear interpolation,
+    probed exact before wiring)."""
+    from crawler.textops import length_quantiles
+
+    return length_quantiles(_read(spark, sf, "documents"))
+
+
 def _q_media_resize(spark, sf):
     """Multimodal RESIZE: numpy SIMG decode → nearest-neighbor 4×4
     downsample (integer index math) → resized pixel block + channel
@@ -1258,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -2090,5 +2103,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(b), 6) AS mean,
                    max(CASE WHEN i = 0 THEN b END) AS first_byte
             FROM vals GROUP BY media_ref, f, nf, w, h
+        """,
+        # independent exact-quantile implementation (DuckDB
+        # quantile_cont) vs Spark's histogram-based percentile —
+        # identical linear interpolation, probed bit-exact
+        "length_quantiles": f"""
+            WITH d AS (
+              SELECT CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                                    w -> list_contains({_SW_SQL}, w)))
+                               AS DOUBLE)
+                               / greatest(len(string_split(lower(text), ' ')), 1)
+                               >= 0.08
+                          THEN 'en' ELSE 'other' END AS lang_pred,
+                     len(string_split(lower(text), ' ')) AS n
+              FROM documents
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   round(quantile_cont(n, 0.5), 6) AS p50,
+                   round(quantile_cont(n, 0.9), 6) AS p90,
+                   round(quantile_cont(n, 0.99), 6) AS p99
+            FROM d GROUP BY lang_pred
         """,
     }

@@ -544,6 +544,39 @@ def language_id(documents: DataFrame, threshold: float = 0.08) -> DataFrame:
     )
 
 
+def length_quantiles(
+    documents: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    threshold: float = 0.08,
+) -> DataFrame:
+    """EXACT grouped quantiles of document length (whitespace tokens)
+    per predicted language — the corpus-profiling stat every curation
+    run starts with (length cutoffs are set off these).
+
+    Scale: Spark's exact ``percentile`` aggregate is internally a
+    value→count histogram with partial (map-side) merge — so the
+    shuffled state per group is O(distinct lengths), not O(rows); token
+    counts are integers with bounded cardinality, which makes the exact
+    path viable at corpus scale (100 TB of docs still has ≤ a few
+    million distinct lengths).  For unbounded-cardinality metrics swap
+    in ``approx_percentile`` (KLL sketch) behind the same contract.
+    One scan, ONE exchange keyed by language.
+    """
+    lang = (
+        F.when(stopword_ratio_expr("text") >= threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred")
+    )
+    n = F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.round(F.percentile("n_tokens", F.lit(p)), 6).alias(
+            f"p{round(p * 100)}"
+        )
+        for p in probs
+    ]
+    return documents.select(lang, n).groupBy("lang_pred").agg(*aggs)
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Corpus quality heuristics: length, mean word length, stopword
     ratio, alpha ratio → [0,1] score.  All JVM expressions."""

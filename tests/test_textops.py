@@ -783,3 +783,30 @@ def test_frame_sample_numpy_mirror(spark):
             assert r["n_frames"] == vid.shape[0]
             assert r["mean"] == float(vid[f].astype(np.float64).mean())
             assert r["first_byte"] == int(vid[f].reshape(-1)[0])
+
+
+def test_length_quantiles_matches_numpy(spark):
+    """Grouped exact quantiles vs numpy's linear-interpolation
+    percentile over the same per-language length populations."""
+    import numpy as np
+
+    rows = [
+        (i, ("the and is of to " * (3 + i % 7)) if i % 2 else ("zzz " * (5 + i % 11)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["lang_pred"]: r for r in textops.length_quantiles(df).collect()}
+    pops = {"en": [], "other": []}
+    for _, text in rows:
+        toks = text.lower().split(" ")  # split keeps the trailing ''
+        sw = {"the", "and", "is", "of", "to"}
+        ratio = sum(w in sw for w in toks) / max(len(toks), 1)
+        pops["en" if ratio >= 0.08 else "other"].append(len(toks))
+    assert set(got) == {k for k, v in pops.items() if v}
+    for lang, ns in pops.items():
+        if not ns:
+            continue
+        assert got[lang]["n_docs"] == len(ns)
+        for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+            want = round(float(np.percentile(ns, p, method="linear")), 6)
+            assert got[lang][col] == want, (lang, col)
