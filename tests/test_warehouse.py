@@ -329,3 +329,47 @@ def test_read_changes_incremental_scan(spark, wh_root):
     # no change -> empty frame with the change column
     empty = t.read_changes(spark, v2, v2)
     assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_refresh_counts_incremental_view_maintenance(spark, wh_root):
+    """IVM over the changelog: the per-key count materialization,
+    refreshed version-to-version from file-set deltas only, equals the
+    full groupBy recompute at every snapshot — across appends, a
+    same-rows compaction (net zero delta), and a key-removing
+    overwrite (counts drop out at ≤ 0)."""
+    from pyspark.sql import functions as F
+
+    from crawler.warehouse import refresh_counts
+
+    wh = Warehouse(wh_root)
+    t = wh.table("ivm", SCHEMA)
+
+    def full(v):
+        return {
+            (r["k"],): r["cnt"]
+            for r in t.read(spark, v)
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    def mat(df):
+        return {(r["k"],): r["cnt"] for r in df.collect()}
+
+    v1 = t.append(_df(spark, [(1, "a"), (1, "b"), (2, "c")]))
+    m1 = refresh_counts(spark, t, ["k"], None, 0, v1)
+    assert mat(m1) == full(v1) == {(1,): 2, (2,): 1}
+
+    v2 = t.append(_df(spark, [(2, "d"), (3, "e")]))
+    m2 = refresh_counts(spark, t, ["k"], m1, v1, v2)
+    assert mat(m2) == full(v2) == {(1,): 2, (2,): 2, (3,): 1}
+
+    # compaction: same rows rewritten into new files -> net zero delta
+    v3 = t.overwrite(t.read(spark, v2).repartition(1))
+    m3 = refresh_counts(spark, t, ["k"], m2, v2, v3)
+    assert mat(m3) == full(v3) == mat(m2)
+
+    # key-removing overwrite: deletes reverse inserts, key 1 drops out
+    v4 = t.overwrite(_df(spark, [(2, "d"), (2, "x"), (3, "e")]))
+    m4 = refresh_counts(spark, t, ["k"], m3, v3, v4)
+    assert mat(m4) == full(v4) == {(2,): 2, (3,): 1}
