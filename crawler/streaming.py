@@ -268,6 +268,33 @@ def sessions_windowed(
     )
 
 
+def dedup_stream(docs_stream: DataFrame, watermark_s: int = 600) -> DataFrame:
+    """Streaming exact dedup — the continuous twin of
+    ``textops.exact_dedup``: fingerprint ``md5(text)`` JVM-side, then
+    ``dropDuplicatesWithinWatermark`` on the fingerprint.  The first
+    arrival of each fingerprint emits immediately (append mode);
+    duplicates arriving within the watermark delay are suppressed.
+
+    Bounded-state contract (the honest streaming tradeoff vs the batch
+    global first-wins): a fingerprint's state entry evicts once the
+    watermark passes its event time + delay, so a duplicate arriving
+    LATER than the dedup horizon is re-emitted — size ``watermark_s``
+    to the horizon the pipeline needs, or run the batch pass as the
+    backstop (exactly how the crawl pairs the bloom prefilter with the
+    exact anti-join).  State is O(distinct fingerprints within the
+    horizon), never O(stream history).  Input needs
+    (ts_ms:long, doc_id, text)."""
+    return (
+        docs_stream.withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+        .withColumn("text_md5", F.md5("text"))
+        .withWatermark("event_time", f"{watermark_s} seconds")
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .select("doc_id", "text_md5", "event_time")
+    )
+
+
 def apply_intake_batch(
     wh: Warehouse, batch: DataFrame, batch_id: int, cfg: CrawlConfig
 ) -> bool:

@@ -609,3 +609,56 @@ def test_sessions_windowed_watermark_and_batch_parity(spark, tmp_path):
     }
     for k, v in got.items():
         assert bt[k] == v
+
+
+def test_dedup_stream_within_watermark_and_horizon(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the first
+    arrival of each text fingerprint emits once, duplicates within the
+    watermark horizon are suppressed (across micro-batches too), and a
+    duplicate arriving beyond the horizon re-emits — the documented
+    bounded-state contract."""
+    from crawler import streaming
+
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    b1 = [
+        {"ts_ms": 1_000, "doc_id": 1, "text": "alpha beta"},
+        {"ts_ms": 2_000, "doc_id": 2, "text": "gamma"},
+        {"ts_ms": 3_000, "doc_id": 3, "text": "alpha beta"},  # in-batch dup
+    ]
+    with open(drop / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    schema = "ts_ms long, doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(drop))
+    q = (
+        streaming.dedup_stream(stream, watermark_s=30)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    # cross-batch dup still within the horizon is suppressed; a fresh
+    # doc advances the watermark far past fingerprint state expiry
+    b2 = [
+        {"ts_ms": 4_000, "doc_id": 4, "text": "alpha beta"},
+        {"ts_ms": 600_000, "doc_id": 5, "text": "delta"},
+    ]
+    with open(drop / "b2.json", "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    # beyond the horizon: the same text re-emits (state was evicted)
+    b3 = [{"ts_ms": 599_000, "doc_id": 6, "text": "alpha beta"}]
+    with open(drop / "b3.json", "w") as f:
+        for r in b3:
+            f.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    assert got == [1, 2, 5, 6]  # 3 and 4 suppressed; 6 re-emitted
