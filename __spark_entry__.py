@@ -1153,6 +1153,46 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    orders ⋈ lineitem, per-order discounted revenue, top 10.  Join
+    strategy: dimensions broadcast (the fact table never shuffles for
+    the join), revenue sums in DECIMAL (price 2dp × discount-complement
+    2dp = exact 4dp — double summation order is engine-dependent,
+    decimal is not), top-k via TakeOrderedAndProject (no global sort)."""
+    c = (
+        _read(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _read(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _read(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev.cast("double"), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_length_quantiles(spark, sf):
     """Exact grouped quantiles (p50/p90/p99 whitespace-token length per
     predicted language) — textops.length_quantiles.  Spark's exact
@@ -1271,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "length_quantiles": _q_length_quantiles,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -2123,5 +2164,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n, 0.9), 6) AS p90,
                    round(quantile_cont(n, 0.99), 6) AS p99
             FROM d GROUP BY lang_pred
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   epoch_us(o_orderdate) AS orderdate_us,
+                   o_orderpriority,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                                  * CAST(1.0 - l_discount AS DECIMAL(18, 2)))
+                              AS DOUBLE), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
     }
