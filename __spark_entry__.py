@@ -1156,10 +1156,12 @@ def _q_range_join(spark, sf):
 def _q_shipping_priority(spark, sf):
     """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
     orders ⋈ lineitem, per-order discounted revenue, top 10.  Join
-    strategy: dimensions broadcast (the fact table never shuffles for
-    the join), revenue sums in DECIMAL (price 2dp × discount-complement
-    2dp = exact 4dp — double summation order is engine-dependent,
-    decimal is not), top-k via TakeOrderedAndProject (no global sort)."""
+    strategy: Catalyst/AQE by size, NO hints — the filtered orders side
+    is fact-sized at 100 TB, so a forced broadcast would be the round-1
+    robots mistake.  Revenue sums in DECIMAL (price 2dp ×
+    discount-complement 2dp = exact 4dp — double summation order is
+    engine-dependent, decimal is not); top-k via TakeOrderedAndProject
+    (no global sort)."""
     c = (
         _read(spark, sf, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -1176,8 +1178,8 @@ def _q_shipping_priority(spark, sf):
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(rev.cast("double"), 4).alias("revenue"))
         .select(

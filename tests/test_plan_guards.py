@@ -71,3 +71,41 @@ def test_wave_scheduler_has_no_python_stage(spark):
     plan = _formatted_plan(scheduled)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_asof_join_one_exchange_zero_joins(spark):
+    """The as-of join's scale claim: ONE Exchange (the key partition)
+    and NO join operator anywhere — the right row attaches via the
+    ordered window, never a join materialization."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E._q_asof_join(spark, "/root/testdata/sf0.001"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
+    assert "Join" not in body
+    assert len(re.findall(r"\(\d+\) Window", body)) == 1
+
+
+def test_range_join_never_nested_loop(spark):
+    """The bucketized interval join must plan as a hash join on the
+    bucket equi-key — a bare inequality join degenerates to
+    BroadcastNestedLoopJoin / CartesianProduct (O(points × intervals))."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E._q_range_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_hypertable_rollup_single_pass(spark):
+    """Multi-granularity rollup in ONE pass: exactly one Expand and one
+    Exchange with a map-side partial aggregate — never one scan per
+    grain (the UNION ALL shape the DuckDB oracle uses)."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E._q_hypertable_rollup(spark, "/root/testdata/sf0.001"))
+    body = plan.split("== Physical Plan ==")[1]
+    assert len(re.findall(r"\(\d+\) Expand", body)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", body)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", body)) == 1
