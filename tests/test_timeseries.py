@@ -182,3 +182,51 @@ def test_rollup_matches_pandas(spark):
     # the three grains really are three granularities of the same data
     tot = {g: out[out["grain"] == g]["n_events"].sum() for g in ("hour", "day", "week")}
     assert tot == {"hour": n, "day": n, "week": n}
+
+
+def test_asof_join_multi_key(spark):
+    """Composite join keys: the window partitions on ALL key columns —
+    fuzzed against merge_asof(by=[k1, k2])."""
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 3, 150),
+            "k2": rng.choice(["x", "y"], 150),
+            "ts": [_ts(s) for s in rng.choice(100_000, 150, replace=False)],
+            "lval": range(150),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 3, 80),
+            "k2": rng.choice(["x", "y"], 80),
+            "ts": [_ts(s) for s in rng.choice(100_000, 80, replace=False)],
+            "rval": range(80),
+        }
+    ).drop_duplicates(["k1", "k2", "ts"])
+    got = (
+        timeseries.asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key_cols=["k1", "k2"],
+            ts_col="ts",
+            payload_cols=["rval"],
+        )
+        .toPandas()
+        .sort_values("lval")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "ts_asof", "rval": "rval_asof"}),
+        left_on="ts",
+        right_on="ts_asof",
+        by=["k1", "k2"],
+        direction="backward",
+    ).sort_values("lval").reset_index(drop=True)
+    for i in range(len(got)):
+        g, w = got.iloc[i], want.iloc[i]
+        if pd.isna(w["rval_asof"]):
+            assert pd.isna(g["rval_asof"])
+        else:
+            assert (g["rval_asof"], g["ts_asof"]) == (w["rval_asof"], w["ts_asof"])
