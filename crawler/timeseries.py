@@ -40,12 +40,14 @@ def asof_join(
     ts_col: str,
     payload_cols: list[str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
     suffix: str = "_asof",
 ) -> DataFrame:
-    """As-of join (pandas ``merge_asof`` / kdb ``aj`` semantics,
-    direction=backward): for every left row attach, per key, the right
-    row with the greatest ``ts_col`` that is **≤** the left row's
-    (strictly within ``tolerance_us`` when given); no match → nulls.
+    """As-of join (pandas ``merge_asof`` / kdb ``aj`` semantics): for
+    every left row attach, per key, the right row with the greatest
+    ``ts_col`` **≤** the left row's (direction='backward', default) or
+    the smallest ``ts_col`` **≥** it (direction='forward'), strictly
+    within ``tolerance_us`` when given; no match → nulls.
 
     Plan: tag right rows with a payload STRUCT (struct, not per-column,
     so all attached fields provably come from the SAME right row even
@@ -81,18 +83,33 @@ def asof_join(
     # NTZ-safe microsecond clock (sessionize's pattern: session TZ is
     # pinned UTC so the cast keeps the wall clock)
     u = u.withColumn("_asof_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = backward on the REVERSED clock: scan descending ts so
+    # "last right seen so far" is the smallest right ts ≥ the left's;
+    # at equal ts the right still sorts first (exact matches included),
+    # and the payload tiebreak flips to keep "largest payload wins"
+    fwd = direction == "forward"
+    order = [
+        F.col("_asof_us").desc() if fwd else F.col("_asof_us").asc(),
+        F.col("_asof_side").asc(),
+        F.col("_asof_payload").desc() if fwd else F.col("_asof_payload").asc(),
+    ]
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_asof_us", "_asof_side", "_asof_payload")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
     ).where(F.col("_asof_side") == 1)
     if tolerance_us is not None:
-        fresh = F.unix_micros(
-            F.col("_asof_match").getField(r_ts).cast("timestamp")
-        ) >= (F.col("_asof_us") - F.lit(tolerance_us))
+        m_us = F.unix_micros(F.col("_asof_match").getField(r_ts).cast("timestamp"))
+        fresh = (
+            m_us <= (F.col("_asof_us") + F.lit(tolerance_us))
+            if fwd
+            else m_us >= (F.col("_asof_us") - F.lit(tolerance_us))
+        )
         matched = matched.withColumn(
             "_asof_match", F.when(fresh, F.col("_asof_match"))
         )

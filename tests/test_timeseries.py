@@ -230,3 +230,40 @@ def test_asof_join_multi_key(spark):
             assert pd.isna(g["rval_asof"])
         else:
             assert (g["rval_asof"], g["ts_asof"]) == (w["rval_asof"], w["ts_asof"])
+
+
+@pytest.mark.parametrize("seed,tol", [(4, None), (5, 3_000 * 10**6)])
+def test_asof_join_forward(spark, seed, tol):
+    """direction='forward': the smallest right ts ≥ the left's, exact
+    matches included — fuzzed against merge_asof(direction='forward')."""
+    left, right = _rand_frames(seed)
+    got = (
+        timeseries.asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key_cols=["k"],
+            ts_col="ts",
+            payload_cols=["rval"],
+            tolerance_us=tol,
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "ts_asof", "rval": "rval_asof"}),
+        left_on="ts",
+        right_on="ts_asof",
+        by="k",
+        direction="forward",
+        tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+    ).sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for i in range(len(got)):
+        g, w = got.iloc[i], want.iloc[i]
+        if pd.isna(w["rval_asof"]):
+            assert pd.isna(g["rval_asof"])
+        else:
+            assert (g["rval_asof"], g["ts_asof"]) == (w["rval_asof"], w["ts_asof"])
