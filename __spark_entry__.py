@@ -1263,6 +1263,45 @@ def _q_hypertable_rollup(spark, sf):
     )
 
 
+def _q_hll_distinct(spark, sf):
+    """Mergeable HyperLogLog distinct-user sketch per event_type
+    (Flajolet et al. 2007): the register table is the sketch state —
+    per-day sketches merge with max() instead of re-shuffling raw keys
+    (the distributed analog of StatsCollector.scala's exact counters).
+    Exact count(distinct) carried alongside so the sketch error is
+    visible in the result; the oracle reproduces the estimate
+    bit-for-bit via the same md5 hash + integer register sum."""
+    from crawler.sketches import hll_distinct
+
+    ev = _read(spark, sf, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id", p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_distinct", "exact_distinct"
+    )
+
+
+def _q_heavy_hitters(spark, sf):
+    """Count-min heavy hitters (Cormode & Muthukrishnan 2005): top-25
+    tokens by CMS point-query estimate over the documents corpus.  The
+    sketch is d×w = 1024 cells REGARDLESS of corpus size (broadcast
+    join), built in one partial-aggregating pass; estimates are an
+    overestimate, never under — exact counts alongside show the error."""
+    from crawler.sketches import countmin_topk
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    out = countmin_topk(toks, "tok", d=4, w=256, k=25)
+    return out.select(
+        F.col("item").alias("tok"), "cms_est", "exact_cnt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -1314,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "length_quantiles": _q_length_quantiles,
         "shipping_priority": _q_shipping_priority,
+        "hll_distinct": _q_hll_distinct,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -1541,6 +1582,33 @@ def _dedup_clusters_oracle_sql() -> str:
         SELECT c.node AS doc_id, c.rep, s.cluster_size
         FROM comp c JOIN sizes s ON s.rep = c.rep
     """
+
+
+def _hll_oracle_sql() -> str:
+    from crawler.sketches import hll_estimate_sql
+
+    est = hll_estimate_sql("events", "event_type", "event_type", "user_id", p=9)
+    return f"""
+        WITH est AS ({est}),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, hll_distinct, exact_distinct
+        FROM est JOIN exact USING (event_type)
+    """
+
+
+def _heavy_hitters_oracle_sql() -> str:
+    from crawler.sketches import countmin_topk_sql
+
+    items = """
+        SELECT tok AS item FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+    """
+    inner = countmin_topk_sql(items, d=4, w=256, k=25)
+    return f"SELECT item AS tok, cms_est, exact_cnt FROM ({inner})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2183,4 +2251,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
+        "hll_distinct": _hll_oracle_sql(),
+        "heavy_hitters": _heavy_hitters_oracle_sql(),
     }
