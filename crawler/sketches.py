@@ -183,15 +183,17 @@ def countmin_topk(
     sketch error directly.
 
     Scale: the sketch is d·w rows REGARDLESS of corpus size (here
-    1024), so the cell join is a broadcast; building it is one shuffle
-    keyed on (row, bucket) with map-side combine.  Merging sketches
-    from two corpora = cell-wise sum, which the same groupBy performs.
+    1024), so AQE broadcasts the cell join from the sketch's measured
+    runtime size (no forced hint — the engine-wide no-F.broadcast rule
+    holds, test_plan_guards); building it is one shuffle keyed on
+    (row, bucket) with map-side combine.  Merging sketches from two
+    corpora = cell-wise sum, which the same groupBy performs.
     """
     cells = countmin_cells(df, item_col, d, w)
     sketch = cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
     est = (
         cells.dropDuplicates(["item", "row", "bucket"])
-        .join(F.broadcast(sketch), ["row", "bucket"])
+        .join(sketch, ["row", "bucket"])
         .groupBy("item")
         .agg(F.min("cnt").alias("cms_est"))
     )
