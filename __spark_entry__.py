@@ -1302,6 +1302,69 @@ def _q_heavy_hitters(spark, sf):
     )
 
 
+#: PII injection mirrored verbatim in the oracle — the synthetic corpus
+#: carries no real PII, so every doc_id % 3 == 0 row gets a
+#: deterministic contact line appended; the scrub is then value-checked
+#: non-vacuously (counts AND the scrubbed text's md5 must both match).
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    pii_line = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.7"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), pii_line))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _q_pii_redact(spark, sf):
+    """PII scrubbing pass (emails / phones / IPv4 → typed placeholders)
+    with per-kind redaction counts — pure JVM regexp_count +
+    regexp_replace fused into the scan (crawler/textops.pii_redact);
+    patterns restricted to the Java-regex ∩ RE2 common subset so the
+    DuckDB oracle is a true twin."""
+    from crawler import textops
+
+    out = textops.pii_redact(_pii_injected(_read(spark, sf, "documents")))
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    )
+
+
+def _q_unigram_lm(spark, sf):
+    """Unigram-LM document quality scoring (CCNet-style, corpus as LM):
+    mean corpus probability of a doc's tokens, computed with an exact
+    BIGINT sum and ONE terminal division so Spark and DuckDB agree
+    bit-for-bit (crawler/textops.unigram_lm_score)."""
+    from crawler import textops
+
+    out = textops.unigram_lm_score(_read(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_unigram_p", 9).alias("mean_unigram_p")
+    )
+
+
+def _q_bigram_lm(spark, sf):
+    """Corpus bigram LM: top-100 adjacent word pairs with conditional
+    probability p(w2|w1) = c(w1,w2)/c(w1·) — both counts exact BIGINTs
+    from one aggregate, p one division (crawler/textops.bigram_lm)."""
+    from crawler import textops
+
+    out = textops.bigram_lm(_read(spark, sf, "documents"), k=100)
+    return out.select("w1", "w2", "cnt", F.round("p_cond", 9).alias("p_cond"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -1355,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "hll_distinct": _q_hll_distinct,
         "heavy_hitters": _q_heavy_hitters,
+        "pii_redact": _q_pii_redact,
+        "unigram_lm": _q_unigram_lm,
+        "bigram_lm": _q_bigram_lm,
     }
 
 
@@ -1609,6 +1675,51 @@ def _heavy_hitters_oracle_sql() -> str:
     """
     inner = countmin_topk_sql(items, d=4, w=256, k=25)
     return f"SELECT item AS tok, cms_est, exact_cnt FROM ({inner})"
+
+
+def _pii_oracle_sql() -> str:
+    """Twin of _q_pii_redact: the SAME injection expression and the SAME
+    pattern constants (imported from crawler.textops, not re-typed) in
+    DuckDB — regexp_replace needs the explicit 'g' flag (DuckDB replaces
+    first-match by default; Spark replaces all)."""
+    from crawler.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    def lit(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    e, p, i = lit(PII_EMAIL_RE), lit(PII_PHONE_RE), lit(PII_IPV4_RE)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@mail.example.org or +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.7'
+                      ELSE text END AS t
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, {e})) AS INT) AS n_emails,
+                 regexp_replace(t, {e}, '<EMAIL>', 'g') AS t
+          FROM base
+        ),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t, {p})) AS INT) AS n_phones,
+                 regexp_replace(t, {p}, '<PHONE>', 'g') AS t
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_emails, n_phones,
+                 CAST(len(regexp_extract_all(t, {i})) AS INT) AS n_ips,
+                 regexp_replace(t, {i}, '<IP>', 'g') AS t
+          FROM s2
+        )
+        SELECT doc_id, md5(t) AS clean_md5, n_emails, n_phones, n_ips FROM s3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2253,4 +2364,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_oracle_sql(),
         "heavy_hitters": _heavy_hitters_oracle_sql(),
+        "pii_redact": _pii_oracle_sql(),
+        "unigram_lm": """
+            WITH toks AS (
+              SELECT doc_id, t.w AS word
+              FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+              WHERE t.w <> ''
+            ),
+            counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+            tot AS (SELECT sum(cnt) AS corpus_total FROM counts),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(cnt) AS sum_cnt
+              FROM toks JOIN counts USING (word) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(CAST(sum_cnt AS DOUBLE)
+                         / CAST(n_tokens * corpus_total AS DOUBLE),
+                         9) AS mean_unigram_p
+            FROM per_doc, tot
+        """,
+        "bigram_lm": """
+            WITH ws AS (
+              SELECT string_split(lower(text), ' ') AS w FROM documents
+            ),
+            pairs AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM ws, unnest(range(1, len(w))) AS t(i)
+              WHERE w[i] <> '' AND w[i + 1] <> ''
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(cnt) AS w1_cnt FROM c2 GROUP BY w1)
+            SELECT w1, w2, cnt,
+                   round(CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE), 9) AS p_cond
+            FROM c2 JOIN c1 USING (w1)
+            ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 100
+        """,
     }

