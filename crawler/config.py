@@ -65,6 +65,22 @@ class CrawlConfig:
     #: product token matched against User-agent group names (RFC 9309);
     #: the most specific matching group's rules are cached per host
     user_agent: str = "sparkcrawler"
+    #: honor robots Crawl-delay: the per-TPD interval becomes the
+    #: stricter of the configured delay and the max Crawl-delay ever
+    #: declared by any of the TPD's cached hosts
+    honor_crawl_delay: bool = True
+    #: cap on a declared Crawl-delay — a hostile 'Crawl-delay: 86400'
+    #: must not park the TPD's queue for a day
+    robots_max_delay_ms: int = 60_000
+
+    # --- server-error cooldown (north_rule extension; off = reference
+    #     parity).  When set, a wave in which a TPD answered any status
+    #     in `error_statuses` (rate-limit / overload signals) pushes
+    #     that TPD's next_allowed to at least last_errored_fetch_ms +
+    #     error_cooldown_ms — the crawl backs off a struggling server
+    #     instead of hammering it at the configured cadence.
+    error_cooldown_ms: int | None = None
+    error_statuses: tuple = (429, 503)
 
     # --- termination (TerminationSink.scala:28, Main.scala:37) ---
     max_fetched: int | None = None

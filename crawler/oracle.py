@@ -69,6 +69,9 @@ class Oracle:
         self.known_hosts = set(pages["host"])
         self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
         self.robots = dict(robots or {})
+        #: host → Crawl-delay ms (None when not declared); mirrors the
+        #: crawl_delay_ms column of the engine's robots cache
+        self.robots_cd: dict[str, int | None] = {}
 
     def _fetch_robots(
         self, host: str, any_url: str | None = None
@@ -102,6 +105,9 @@ class Oracle:
             doc_id = page[2]
             spans = self.docs.get(doc_id, []) if doc_id else []
             text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+            self.robots_cd[host] = robots_mod.py_parse_crawl_delay(
+                text, self.cfg.user_agent
+            )
             return robots_mod.py_parse_rules(text, self.cfg.user_agent)
         if status <= 0 or status >= 500:
             return list(robots_mod.DISALLOW_ALL_PY)  # unreachable → disallow
@@ -170,6 +176,18 @@ class Oracle:
                     rows.remove(r)
                     res.robots_blocked.append(r.url)
                 delay = cfg.delay_for(tpd)
+                if cfg.fetch_robots and cfg.honor_crawl_delay:
+                    # engine mirror (politeness.schedule_wave): interval
+                    # is the stricter of config and the max Crawl-delay
+                    # ever declared by any CACHED host of this TPD
+                    # (capped) — politeness is durable, not per-wave
+                    cds = [
+                        cd
+                        for h, cd in self.robots_cd.items()
+                        if cd is not None and urlnorm.tpd_of(h) == tpd
+                    ]
+                    if cds:
+                        delay = max(delay, min(max(cds), cfg.robots_max_delay_ms))
                 st = state.get(tpd)
                 t = max(st.next_allowed, win_start) if st else win_start + delay
                 # url_canon breaks (priority, seq) ties — two hosts
@@ -189,6 +207,7 @@ class Oracle:
 
             # fetch + deliver
             delivered_items = []
+            err_last: dict[str, int] = {}  # tpd → last errored fetch_ms
             for ft, r in sorted(fetch_log, key=lambda x: (x[0], x[1].url, x[1].seq)):
                 page = self.pages.get(r.url)
                 if page is not None:
@@ -200,6 +219,8 @@ class Oracle:
                 else:
                     status, location, doc_id, spans = 0, None, None, None
                 res.order_per_host.setdefault(r.host, []).append((w, ft, r.url))
+                if cfg.error_cooldown_ms and status in cfg.error_statuses:
+                    err_last[r.tpd] = max(err_last.get(r.tpd, 0), ft)
                 if status <= 0:
                     continue
                 if self.cfg.status_filter and not (200 <= status < 400):
@@ -273,6 +294,15 @@ class Oracle:
                 if rows and tpd not in state:
                     # schedule (re)created this wave, first tick one interval out
                     state[tpd] = OState(win_start + cfg.delay_for(tpd))
+
+            # server-error cooldown (engine mirror: next_host_state's
+            # errored push) — errored TPDs always scheduled rows this
+            # wave so their state row exists
+            for tpd, ft in err_last.items():
+                if tpd in state:
+                    state[tpd].next_allowed = max(
+                        state[tpd].next_allowed, ft + cfg.error_cooldown_ms
+                    )
 
             res.waves = w + 1
             # drop empty queues lazily

@@ -131,7 +131,37 @@ def schedule_wave(
     else:
         allowed, blocked = robots_split(eligible, robots)
 
-    allowed = allowed.withColumn("delay_ms", delay_expr("tpd", cfg)).withColumn(
+    delay = delay_expr("tpd", cfg)
+    if robots is not None and cfg.honor_crawl_delay:
+        # robots Crawl-delay: per TPD the interval becomes the stricter
+        # of the configured delay and the max delay any of the TPD's
+        # CACHED hosts ever declared (capped) — politeness is durable,
+        # not per-wave.  Plan shape: the TPD comes from the cache row's
+        # own host string (urlnorm.tpd_expr — pure JVM), so this never
+        # touches the pending set: one column-pruned scan of the
+        # crawl_delay-declaring sliver of the cache, one tiny agg, and
+        # an AQE-broadcast join back onto `allowed`.
+        from . import urlnorm
+
+        tpd_cd = (
+            robots.where(F.col("crawl_delay_ms").isNotNull())
+            .select(
+                urlnorm.tpd_expr(F.col("host")).alias("tpd"),
+                F.col("crawl_delay_ms"),
+            )
+            .groupBy("tpd")
+            .agg(F.max("crawl_delay_ms").alias("_tpd_cd"))
+        )
+        allowed = allowed.join(tpd_cd, on="tpd", how="left")
+        # NB: F.least SKIPS nulls (least(null, cap) == cap), so the
+        # no-declared-delay case must be gated explicitly, not coalesced
+        cd = F.when(
+            F.col("_tpd_cd").isNotNull(),
+            F.least(F.col("_tpd_cd"), F.lit(cfg.robots_max_delay_ms)),
+        ).otherwise(F.lit(0))
+        delay = F.greatest(delay, cd).cast("int")
+
+    allowed = allowed.withColumn("delay_ms", delay).withColumn(
         "_k", F.ceil(F.lit(cfg.wave_ms) / F.col("delay_ms")).cast("int")
     )
 
@@ -178,6 +208,7 @@ def next_host_state(
     scheduled: DataFrame,
     cfg: CrawlConfig,
     wave: int,
+    errored: DataFrame | None = None,
 ) -> DataFrame:
     """Fold the wave into per-TPD schedule state — all JVM aggregations.
 
@@ -190,6 +221,12 @@ def next_host_state(
       polled an empty queue → counter += per-wave tick count; rows
       reaching schedule_timeout are dropped (schedule cancelled,
       FrontierThrottler.scala:76-82)
+    - `errored` (optional, cfg.error_cooldown_ms): (tpd, _err_last) —
+      the last fetch_ms at which the TPD answered a rate-limit /
+      overload status this wave; its next_allowed is pushed to at
+      least _err_last + cooldown.  Errored TPDs always scheduled rows
+      this wave, so a LEFT join suffices, and F.greatest's null-skip is
+      exactly right here: no error row → the normal clock stands.
     """
     win_start = wave * cfg.wave_ms
 
@@ -217,6 +254,12 @@ def next_host_state(
         F.coalesce(F.col("empty_waves"), F.lit(0))
         + F.when(had_state & queue_empty, ticks).otherwise(F.lit(0))
     ).cast("int")
+    if errored is not None:
+        merged = merged.join(errored, on="tpd", how="left")
+        next_allowed = F.greatest(
+            next_allowed,
+            F.col("_err_last") + F.lit(int(cfg.error_cooldown_ms or 0)),
+        )
     return (
         merged.select(
             F.col("tpd"),

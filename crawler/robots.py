@@ -195,6 +195,92 @@ def parse_rules_expr(text_col: Column, user_agent: str) -> Column:
     return F.aggregate(kv, init, step)["rules"]
 
 
+#: clamp parsed Crawl-delay to int32 range (a pathological
+#: 'Crawl-delay: 99999999999' must not overflow the cache column)
+_CD_INT_MAX = 2**31 - 1
+
+
+def parse_crawl_delay_expr(text_col: Column, user_agent: str) -> Column:
+    """robots.txt body → Crawl-delay of the group applying to
+    `user_agent`, in ms (int, null when not declared).  Non-standard
+    but widely honored; seconds value may be fractional.  Groups at the
+    winning specificity merge like rules do — the MAX (strictest)
+    declared delay wins; unparseable values are no-op lines.  Same pure
+    JVM fold as parse_rules_expr."""
+    kv = _kv_expr(text_col)
+    best = best_spec_expr(text_col, user_agent)
+    init = F.struct(
+        F.lit(1).alias("cur"),
+        F.lit(0).alias("inua"),
+        F.lit(-1).cast("long").alias("cd"),
+    )
+
+    def step(acc, x):
+        s = _spec_expr(x["v"], user_agent)
+        new_cur, new_inua = _group_step(acc["cur"], acc["inua"], x["k"], s)
+        val = F.when(
+            x["v"].rlike(r"^[0-9]+(\.[0-9]+)?$"),
+            F.ceil(x["v"].cast("double") * 1000).cast("long"),
+        )
+        take = (
+            (x["k"] == F.lit("crawl-delay")) & (acc["cur"] == best) & val.isNotNull()
+        )
+        return F.struct(
+            new_cur.alias("cur"),
+            new_inua.alias("inua"),
+            F.when(take, F.greatest(acc["cd"], val)).otherwise(acc["cd"]).alias("cd"),
+        )
+
+    cd = F.aggregate(kv, init, step)["cd"]
+    return (
+        F.when(cd >= 0, F.least(cd, F.lit(_CD_INT_MAX).cast("long")))
+        .cast("int")
+    )
+
+
+def py_parse_crawl_delay(text: str, user_agent: str = "*") -> int | None:
+    """Single-doc twin of parse_crawl_delay_expr (ms or None)."""
+    import math
+
+    token = _product_token(user_agent)
+
+    def spec(v: str) -> int:
+        if not v:
+            return 0
+        if v == "*":
+            return 1
+        return len(v) + 10 if token.startswith(v.lower()) else 0
+
+    kv: list[tuple[str, str]] = []
+    for ln in _re.split(r"\r?\n", text or ""):
+        ln = _re.sub(r"#.*$", "", ln).strip()
+        if ":" in ln:
+            k, _, v = ln.partition(":")
+            kv.append((k.strip().lower(), v.strip()))
+        else:
+            kv.append(("", ""))
+
+    cur, inua, best = 1, 0, 1
+    for k, v in kv:
+        if k == "user-agent":
+            cur = max(cur, spec(v)) if inua else spec(v)
+            inua, best = 1, max(best, cur)
+        elif k != "":
+            inua = 0
+
+    cd = -1
+    cur, inua = 1, 0
+    for k, v in kv:
+        if k == "crawl-delay" and cur == best and _re.fullmatch(r"[0-9]+(\.[0-9]+)?", v):
+            cd = max(cd, math.ceil(float(v) * 1000))
+        if k == "user-agent":
+            cur = max(cur, spec(v)) if inua else spec(v)
+            inua = 1
+        elif k != "":
+            inua = 0
+    return None if cd < 0 else min(cd, _CD_INT_MAX)
+
+
 def match_target_expr(url_col: str | Column) -> Column:
     """The string robots rules match against: path (empty → '/') plus
     '?query' when the URL has one; fragments never participate."""
@@ -343,9 +429,13 @@ def _rules_from_fetched(fetched: DataFrame, user_agent: str, wave: int) -> DataF
     rules = F.when(
         ok, parse_rules_expr(robots_text_expr(F.col("spans")), user_agent)
     ).when(unreachable, disallow_all)
+    crawl_delay = F.when(
+        ok, parse_crawl_delay_expr(robots_text_expr(F.col("spans")), user_agent)
+    )
     return fetched.select(
         F.col("host"),
         F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
+        crawl_delay.cast("int").alias("crawl_delay_ms"),
         F.lit(wave).cast("int").alias("fetched_wave"),
     )
 

@@ -177,6 +177,11 @@ ROBOTS_CACHE = T.StructType(
             ),
             False,
         ),
+        # Crawl-delay of the group matching our UA, in ms (null = not
+        # declared / negative-cached).  Non-RFC-9309 but widely honored
+        # (Bing/Yandex); the scheduler takes the stricter of this and
+        # the configured per-domain delay, capped (config.robots_max_delay_ms).
+        T.StructField("crawl_delay_ms", T.IntegerType(), True),
         T.StructField("fetched_wave", T.IntegerType(), False),
     ]
 )

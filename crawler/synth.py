@@ -116,8 +116,13 @@ def multihost_fixture(
             pages.append(_page(url, 200, None, doc_id))
     # robots.txt pages (plain-text single span): the mega-host disallows
     # the /p/1 prefix (so /p/1, /p/10.., /p/1xx are all blocked when
-    # fetch_robots is on); h001 disallows /p/3
-    for h, dis in (("mega.com", "/p/1"), ("h001.com", "/p/3")):
+    # fetch_robots is on); h001 disallows /p/3 AND declares a fractional
+    # Crawl-delay (0.2 s) so the e2e oracle-equivalence suite exercises
+    # the crawl-delay scheduling path, not just rule blocking
+    for h, body in (
+        ("mega.com", "User-agent: *\nDisallow: /p/1"),
+        ("h001.com", "User-agent: *\nDisallow: /p/3\nCrawl-delay: 0.2"),
+    ):
         doc_id = f"doc:{h}/robots.txt"
         docs.append(
             {
@@ -125,7 +130,7 @@ def multihost_fixture(
                 "spans": [
                     {
                         "kind": "text",
-                        "text": f"User-agent: *\nDisallow: {dis}",
+                        "text": body,
                         "media_ref": "",
                         "offset": 0,
                     }

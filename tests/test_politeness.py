@@ -98,7 +98,7 @@ def test_robots_blocking(spark):
     st = _state(spark, [("example.com", 0, 0)])
     robots = _robots(
         spark,
-        [("a.example.com", [(False, "/private", False, "^/private")], 0)],
+        [("a.example.com", [(False, "/private", False, "^/private")], None, 0)],
     )
     s, blocked = politeness.schedule_wave(pend, st, robots, cfg, 0)
     assert [r["url"] for r in s.collect()] == ["http://a.example.com/ok"]
@@ -139,3 +139,77 @@ def test_mega_host_salted_topk_lossless(spark):
     s, _ = politeness.schedule_wave(pend, st, _robots(spark), cfg, 0)
     got = [int(r["url"].rsplit("/", 1)[1]) for r in s.orderBy("fetch_ms").collect()]
     assert got == list(range(10))  # exact first 10, in order
+
+
+def test_crawl_delay_stricter_and_capped(spark):
+    """robots Crawl-delay: per TPD the interval becomes the stricter of
+    the configured delay and the max declared delay among the TPD's
+    hosts (capped at robots_max_delay_ms); hosts with no declared delay
+    are unaffected (F.least null-skip regression)."""
+    cfg = CrawlConfig(per_domain_delay_ms=100, wave_ms=1000, robots_max_delay_ms=60_000)
+    pend = _pending(
+        spark,
+        [(f"http://a.example.com/{i}", "example.com", i) for i in range(20)]
+        + [(f"http://b.other.com/{i}", "other.com", i) for i in range(20)]
+        + [(f"http://c.parked.com/{i}", "parked.com", i) for i in range(20)],
+    )
+    st = _state(
+        spark, [("example.com", 0, 0), ("other.com", 0, 0), ("parked.com", 0, 0)]
+    )
+    robots = _robots(
+        spark,
+        [
+            ("a.example.com", [], 500, 0),       # declared 0.5 s
+            ("c.parked.com", [], 86_400_000, 0), # hostile: one day
+        ],
+    )
+    s, _ = politeness.schedule_wave(pend, st, robots, cfg, 0)
+    per = {
+        r["tpd"]: r["cnt"]
+        for r in s.groupBy("tpd").agg(F.count("*").alias("cnt")).collect()
+    }
+    # example.com: ceil(1000/500)=2; other.com: no Crawl-delay → 10;
+    # parked.com: capped at 60 s → still schedules 1 this wave
+    assert per == {"example.com": 2, "other.com": 10, "parked.com": 1}
+    # disabled honor flag → config delay everywhere
+    cfg_off = CrawlConfig(per_domain_delay_ms=100, wave_ms=1000, honor_crawl_delay=False)
+    s_off, _ = politeness.schedule_wave(pend, st, robots, cfg_off, 0)
+    assert s_off.count() == 30
+
+
+def test_crawl_delay_parse_jvm_twin_parity(spark):
+    """parse_crawl_delay_expr ≡ py_parse_crawl_delay: group selection,
+    fractional seconds (ceil to ms), max-merge within the winning
+    specificity, unparseable values skipped, absent → null."""
+    from crawler import robots as robots_mod
+
+    texts = [
+        # specific group wins over *
+        "User-agent: *\nCrawl-delay: 9\nUser-agent: sparkcrawler\nCrawl-delay: 2",
+        # fractional seconds ceil to ms
+        "User-agent: *\nCrawl-delay: 0.5",
+        "User-agent: *\nCrawl-delay: 1.2345",
+        # max of multiple declarations at winning specificity
+        "User-agent: sparkcrawler\nCrawl-delay: 1\nUser-agent: sparkcrawler\nCrawl-delay: 7",
+        # unparseable → skipped; none parseable → null
+        "User-agent: *\nCrawl-delay: soon",
+        "User-agent: *\nDisallow: /x",
+        # delay in a non-matching group is ignored
+        "User-agent: otherbot\nCrawl-delay: 30",
+        # headerless implicit * group
+        "Crawl-delay: 3",
+        # overflow clamp
+        "User-agent: *\nCrawl-delay: 99999999999",
+    ]
+    expect = [2000, 500, 1235, 7000, None, None, None, 3000, 2**31 - 1]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r["cd"]
+        for r in df.select(
+            robots_mod.parse_crawl_delay_expr(F.col("t"), "sparkcrawler").alias("cd")
+        ).collect()
+    ]
+    assert got == expect
+    assert [
+        robots_mod.py_parse_crawl_delay(t, "sparkcrawler") for t in texts
+    ] == expect
