@@ -318,8 +318,21 @@ class Crawl:
             frontier.consumed_keys(blocked, wave)
         )
         pending_after = frontier.pending(pend, consumed_now).unionByName(new_rows)
+        errored = None
+        if cfg.error_cooldown_ms:
+            # server-error cooldown: TPDs that answered a rate-limit /
+            # overload status this wave back off (config.error_cooldown_ms)
+            errored = (
+                fetched_raw.where(
+                    F.col("status").isin([int(s) for s in cfg.error_statuses])
+                )
+                .groupBy("tpd")
+                .agg(F.max("fetch_ms").alias("_err_last"))
+            )
         versions["host_state"] = self._t("host_state").overwrite(
-            politeness.next_host_state(host_state, pending_after, scheduled, cfg, wave)
+            politeness.next_host_state(
+                host_state, pending_after, scheduled, cfg, wave, errored=errored
+            )
         )
 
         # ---- periodic compaction bounds the anti-join (R8 analog)

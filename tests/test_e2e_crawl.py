@@ -236,3 +236,65 @@ def test_fuzz_crawl_equivalence(
     c.run()
     o = Oracle(pages_pd, docs_pd, cfg).run(seeds)
     _assert_equivalent(spark, c, o)
+
+
+def test_error_cooldown_equivalence_and_spacing(spark, wh_root):
+    """Server-error cooldown (cfg.error_cooldown_ms): a TPD answering
+    429/503 backs off — engine ≡ oracle on ordering/URL-seen/spans, and
+    after an errored wave the TPD's next attempt is at least
+    last_errored_fetch_ms + cooldown (no hammering a struggling host),
+    while a healthy host keeps the configured cadence."""
+    import pandas as pd
+
+    from crawler import synth as s
+
+    pages, docs = [], []
+    # flaky.com: /p/0..5 all answer 503; ok.com: /p/0..5 chain of 200s
+    for k in range(6):
+        pages.append(s._page(f"http://flaky.com/p/{k}", status=503))
+        doc_id = f"doc:ok/{k}"
+        nxt = f'<a href="/p/{k + 1}">next</a>' if k < 5 else ""
+        docs.append(s._doc(doc_id, nxt))
+        pages.append(s._page(f"http://ok.com/p/{k}", 200, None, doc_id))
+    pages_pd, docs_pd = pd.DataFrame(pages), pd.DataFrame(docs)
+
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100,
+        wave_ms=300,
+        seed_url_seen=True,
+        max_waves=12,
+        bloom_shards=8,
+        error_cooldown_ms=700,  # > 2 waves
+    )
+    seeds = [f"http://flaky.com/p/{k}" for k in range(6)] + [
+        "http://ok.com/p/0"
+    ]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, s.pages_df(spark, pages_pd), s.documents_df(spark, docs_pd))
+    c.run()
+    o = Oracle(pages_pd, docs_pd, cfg).run(seeds)
+    _assert_equivalent(spark, c, o)
+
+    # spacing property on the engine artifact itself
+    flaky = sorted(
+        (r["fetch_ms"], r["wave"])
+        for r in c._read("fetched").where(F.col("host") == "flaky.com").collect()
+    )
+    assert len(flaky) >= 4  # the cooldown slows, never starves, the queue
+    by_wave: dict[int, list[int]] = {}
+    for ms, w in flaky:
+        by_wave.setdefault(w, []).append(ms)
+    waves = sorted(by_wave)
+    for w_prev, w_next in zip(waves, waves[1:]):
+        # first attempt of the next errored burst respects the cooldown
+        assert min(by_wave[w_next]) >= max(by_wave[w_prev]) + cfg.error_cooldown_ms
+    # healthy host unaffected: all 6 chain pages fetched, never closer
+    # than the plain delay and never pushed by the (foreign) cooldown —
+    # link discovery legitimately spaces some fetches wider than delay
+    ok = sorted(
+        r["fetch_ms"]
+        for r in c._read("fetched").where(F.col("host") == "ok.com").collect()
+    )
+    assert len(ok) == 6
+    assert all(b - a >= cfg.per_domain_delay_ms for a, b in zip(ok, ok[1:]))
+    assert any(b - a < cfg.error_cooldown_ms for a, b in zip(ok, ok[1:]))
