@@ -89,6 +89,28 @@ class CrawlConfig:
     # --- provenance (Requests.scala:62-65) ---
     max_provenance: int = 10
 
+    # --- frontier admission controls (north_rule extensions; both off
+    #     by default = reference parity).  Applied at EXTRACTION time,
+    #     before URL-seen admission, so a link dropped here can still
+    #     be admitted later via a shallower / non-denied path. ---
+    #: drop extracted links deeper than this many hops from a seed
+    #: (seed = depth 0).  Depth is measured as the provenance-chain
+    #: length, so it must stay ≤ max_provenance (the chain is truncated
+    #: beyond that — validated at construction).
+    max_depth: int | None = None
+    #: drop extracted links whose dest URL matches ANY of these regexes
+    #: (unanchored find).  Keep patterns inside the Java-regex ∩
+    #: Python-regex common subset — the engine evaluates rlike (Java),
+    #: the oracle re.search.  Seeds are never filtered.
+    url_deny_patterns: tuple = ()
+
+    def __post_init__(self) -> None:
+        if self.max_depth is not None and self.max_depth > self.max_provenance:
+            raise ValueError(
+                f"max_depth={self.max_depth} needs the full provenance chain, "
+                f"but max_provenance={self.max_provenance} truncates it"
+            )
+
     # --- skew handling ---
     #: candidate cap per host per wave is ceil(wave_ms/delay); the salted
     #: pre-top-k uses this many salt buckets for mega-hosts

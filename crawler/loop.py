@@ -215,6 +215,21 @@ class Crawl:
             same_tpd_only=cfg.same_tpd_only,
             source_cols=("url", "tpd", "provenance", "seq", "fetch_ms"),
         )
+        # frontier admission controls (config.max_depth /
+        # url_deny_patterns) — BEFORE URL-seen admission, so a dropped
+        # link never poisons the seen set against a later shallower /
+        # non-denied path; pure JVM predicates fused into the extract
+        # project (zero extra shuffles)
+        if cfg.max_depth is not None:
+            links_raw = links_raw.where(
+                F.size("provenance") + 1 <= F.lit(int(cfg.max_depth))
+            )
+        if cfg.url_deny_patterns:
+            deny = None
+            for p in cfg.url_deny_patterns:
+                c = F.col("dest_url").rlike(p)
+                deny = c if deny is None else (deny | c)
+            links_raw = links_raw.where(~deny)
         cand = (
             links_raw.withColumnRenamed("url", "source_url")
             .withColumnRenamed("seq", "src_seq")

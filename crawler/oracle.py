@@ -247,6 +247,21 @@ class Oracle:
                     candidates.append((ft, r.url, r.seq, pos, dest, r))
             candidates.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
 
+            # frontier admission controls (engine mirror: loop.run_wave
+            # filters links_raw BEFORE URL-seen admission)
+            if cfg.max_depth is not None:
+                candidates = [
+                    c for c in candidates if len(c[5].provenance) + 1 <= cfg.max_depth
+                ]
+            if cfg.url_deny_patterns:
+                import re as _re
+
+                candidates = [
+                    c
+                    for c in candidates
+                    if not any(_re.search(p, c[4]) for p in cfg.url_deny_patterns)
+                ]
+
             # first-wins dedup vs wave-start URL-seen, then within wave
             new_rows: list[tuple] = []
             chosen = set()

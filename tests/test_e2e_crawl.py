@@ -298,3 +298,37 @@ def test_error_cooldown_equivalence_and_spacing(spark, wh_root):
     assert len(ok) == 6
     assert all(b - a >= cfg.per_domain_delay_ms for a, b in zip(ok, ok[1:]))
     assert any(b - a < cfg.error_cooldown_ms for a, b in zip(ok, ok[1:]))
+
+
+def test_frontier_admission_controls(spark, wh_root):
+    """max_depth + url_deny_patterns (off = reference parity): applied
+    at extraction, BEFORE URL-seen admission; engine ≡ oracle, and the
+    ring crawl stops exactly where the control says."""
+    import os
+
+    # depth: seed crawl/1 (depth 0) with max_depth=3 → delivered 1..4
+    cfg_d = make_test_config(seed_url_seen=True, max_waves=40, max_depth=3)
+    c1, _ = _run(spark, wh_root + "/depth", ["http://localhost:9090/crawl/1"], cfg_d)
+    pages_pd, docs_pd, _, _ = _fixture(spark)
+    o1 = Oracle(pages_pd, docs_pd, cfg_d).run(["http://localhost:9090/crawl/1"])
+    _assert_equivalent(spark, c1, o1)
+    assert _delivered_urls(spark, c1, cfg_d) == [
+        f"http://localhost:9090/crawl/{i}" for i in (1, 2, 3, 4)
+    ]
+
+    # deny: /crawl/6 never admitted → ring stops at 5 (7.. unreachable)
+    cfg_y = make_test_config(
+        seed_url_seen=True, max_waves=40, url_deny_patterns=(r"/crawl/6$",)
+    )
+    c2, _ = _run(spark, wh_root + "/deny", ["http://localhost:9090/crawl/1"], cfg_y)
+    o2 = Oracle(pages_pd, docs_pd, cfg_y).run(["http://localhost:9090/crawl/1"])
+    _assert_equivalent(spark, c2, o2)
+    assert _delivered_urls(spark, c2, cfg_y) == [
+        f"http://localhost:9090/crawl/{i}" for i in (1, 2, 3, 4, 5)
+    ]
+
+    # config guard: a depth the provenance chain cannot witness raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CrawlConfig(max_depth=11, max_provenance=10)
