@@ -1505,13 +1505,17 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     Scale: one groupBy(word) with map-side combine for the LM (state =
     vocabulary, not corpus), one shuffle join tokens×counts on word
     (AQE may broadcast a small vocabulary), one map-side-combined
-    groupBy(doc_id).  The 1-row corpus total rides in as a broadcast.
+    groupBy(doc_id).  The doc-level aggregate is PERSISTED and the
+    1-row corpus total derives from it (Σ n_tokens ≡ Σ_w cnt_w) — an
+    audit of the unpersisted plan showed the vocabulary subtree
+    executing twice (join build + total) for three corpus scans; the
+    persist pins it to two, and the cache is one row per doc, never
+    corpus-sized.
     """
     toks = documents.select(
         "doc_id", F.explode(tokens_expr("text")).alias("word")
     ).where(F.col("word") != "")
     counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("corpus_total"))
     per_doc = (
         toks.join(counts, "word")
         .groupBy("doc_id")
@@ -1519,7 +1523,9 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum("cnt").alias("sum_cnt"),
         )
+        .persist()
     )
+    total = per_doc.agg(F.sum("n_tokens").alias("corpus_total"))
     return per_doc.crossJoin(total).select(
         "doc_id",
         "n_tokens",
