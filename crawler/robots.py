@@ -238,6 +238,40 @@ def parse_crawl_delay_expr(text_col: Column, user_agent: str) -> Column:
     )
 
 
+def parse_sitemaps_expr(text_col: Column) -> Column:
+    """robots.txt body → array of declared Sitemap URLs, in file order.
+
+    Per sitemaps.org, Sitemap lines are GLOBAL — independent of any
+    User-agent group — so this is one filter+transform over the kv
+    lines, no group fold.  Values must look absolute (scheme://…);
+    anything else is a no-op line (the protocol requires full URLs).
+    Pure JVM, fused wherever the caller projects it."""
+    kv = _kv_expr(text_col)
+    return F.transform(
+        F.filter(
+            kv,
+            lambda x: (x["k"] == F.lit("sitemap"))
+            & x["v"].rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+        ),
+        lambda x: x["v"],
+    )
+
+
+def py_parse_sitemaps(text: str) -> list[str]:
+    """Scalar twin of parse_sitemaps_expr."""
+    out = []
+    for ln in _re.split(r"\r?\n", text or ""):
+        ln = _re.sub(r"#.*$", "", ln).strip()
+        if ":" not in ln:
+            continue
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "sitemap" and _re.match(
+            r"[A-Za-z][A-Za-z0-9+.-]*://", v.strip()
+        ):
+            out.append(v.strip())
+    return out
+
+
 def py_parse_crawl_delay(text: str, user_agent: str = "*") -> int | None:
     """Single-doc twin of parse_crawl_delay_expr (ms or None)."""
     import math
@@ -432,10 +466,12 @@ def _rules_from_fetched(fetched: DataFrame, user_agent: str, wave: int) -> DataF
     crawl_delay = F.when(
         ok, parse_crawl_delay_expr(robots_text_expr(F.col("spans")), user_agent)
     )
+    sitemaps = F.when(ok, parse_sitemaps_expr(robots_text_expr(F.col("spans"))))
     return fetched.select(
         F.col("host"),
         F.coalesce(rules, F.array().cast(RULES_TYPE)).alias("rules"),
         crawl_delay.cast("int").alias("crawl_delay_ms"),
+        F.coalesce(sitemaps, F.array().cast("array<string>")).alias("sitemaps"),
         F.lit(wave).cast("int").alias("fetched_wave"),
     )
 

@@ -182,6 +182,10 @@ ROBOTS_CACHE = T.StructType(
         # (Bing/Yandex); the scheduler takes the stricter of this and
         # the configured per-domain delay, capped (config.robots_max_delay_ms).
         T.StructField("crawl_delay_ms", T.IntegerType(), True),
+        # Sitemap URLs declared by the host (sitemaps.org protocol;
+        # global lines, group-independent) — a seed-discovery surface
+        # for tooling; the crawl loop itself never auto-enqueues them.
+        T.StructField("sitemaps", T.ArrayType(T.StringType()), False),
         T.StructField("fetched_wave", T.IntegerType(), False),
     ]
 )

@@ -98,7 +98,7 @@ def test_robots_blocking(spark):
     st = _state(spark, [("example.com", 0, 0)])
     robots = _robots(
         spark,
-        [("a.example.com", [(False, "/private", False, "^/private")], None, 0)],
+        [("a.example.com", [(False, "/private", False, "^/private")], None, [], 0)],
     )
     s, blocked = politeness.schedule_wave(pend, st, robots, cfg, 0)
     assert [r["url"] for r in s.collect()] == ["http://a.example.com/ok"]
@@ -159,8 +159,8 @@ def test_crawl_delay_stricter_and_capped(spark):
     robots = _robots(
         spark,
         [
-            ("a.example.com", [], 500, 0),       # declared 0.5 s
-            ("c.parked.com", [], 86_400_000, 0), # hostile: one day
+            ("a.example.com", [], 500, [], 0),       # declared 0.5 s
+            ("c.parked.com", [], 86_400_000, [], 0), # hostile: one day
         ],
     )
     s, _ = politeness.schedule_wave(pend, st, robots, cfg, 0)

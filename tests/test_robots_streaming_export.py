@@ -662,3 +662,75 @@ def test_dedup_stream_within_watermark_and_horizon(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
     )
     assert got == [1, 2, 5, 6]  # 3 and 4 suppressed; 6 re-emitted
+
+
+def test_sitemap_extraction_jvm_twin_parity(spark):
+    """parse_sitemaps_expr ≡ py_parse_sitemaps: global (group-
+    independent) lines, file order kept, non-absolute values dropped,
+    URLs with colons survive the kv split."""
+    texts = [
+        # inside and outside UA groups — both collected, in order
+        "Sitemap: https://a.com/s1.xml\nUser-agent: *\nDisallow: /x\n"
+        "Sitemap: http://a.com/s2.xml.gz",
+        # relative / schemeless → dropped (protocol requires full URLs)
+        "Sitemap: /local.xml\nSitemap: a.com/s.xml",
+        # none declared
+        "User-agent: *\nDisallow: /",
+        # comments stripped, CRLF tolerated
+        "Sitemap: https://b.com/x.xml  # primary\r\nsitemap: HTTPS://B.COM/Y.XML",
+    ]
+    expect = [
+        ["https://a.com/s1.xml", "http://a.com/s2.xml.gz"],
+        [],
+        [],
+        ["https://b.com/x.xml", "HTTPS://B.COM/Y.XML"],
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r["s"]
+        for r in df.select(robots.parse_sitemaps_expr(F.col("t")).alias("s")).collect()
+    ]
+    assert got == expect
+    assert [robots.py_parse_sitemaps(t) for t in texts] == expect
+
+
+def test_sitemaps_cached_from_fetch(spark):
+    """The robots cache row carries the declared sitemap URLs (2xx
+    parse only; unreachable/4xx hosts cache an empty list)."""
+    from crawler import synth
+    from crawler.config import CrawlConfig
+
+    body = "User-agent: *\nDisallow: /p/9\nSitemap: http://smap.com/map.xml"
+    pages = [synth._page("http://smap.com/robots.txt", 200, None, "doc:r")]
+    docs = [
+        {
+            "doc_id": "doc:r",
+            "spans": [{"kind": "text", "text": body, "media_ref": "", "offset": 0}],
+        }
+    ]
+    pages.append(synth._page("http://smap.com/p/0", 200, None, None))
+    import pandas as pd
+
+    import crawler.schemas as schemas_mod
+
+    pend = spark.createDataFrame(
+        [
+            (
+                "http://smap.com/p/0", "http://smap.com/p/0", 1, "smap.com",
+                "smap.com", "GET", [], None, [], 0.0, 0, 0, 0,
+            )
+        ],
+        schemas_mod.FRONTIER,
+    )
+    cache = spark.createDataFrame([], schemas_mod.ROBOTS_CACHE)
+    out = robots.refresh_robots(
+        pend,
+        cache,
+        synth.pages_df(spark, pd.DataFrame(pages)),
+        synth.documents_df(spark, pd.DataFrame(docs)),
+        wave=0,
+        user_agent="bot",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["sitemaps"] == ["http://smap.com/map.xml"]
+    assert [(r["allow"], r["pattern"]) for r in out[0]["rules"]] == [(False, "/p/9")]
