@@ -1355,6 +1355,22 @@ def _q_unigram_lm(spark, sf):
     )
 
 
+#: mixture weights for the mix_sources query — mirrored in the oracle
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def _q_mix_sources(spark, sf):
+    """Deterministic weighted source mixing (crawler/textops.mix_sources):
+    per-doc md5 coin vs floor(weight·2^32) — a pure integer compare, so
+    the DuckDB twin agrees doc-for-doc, not just in expectation."""
+    from crawler import textops
+
+    out = textops.mix_sources(
+        _read(spark, sf, "documents"), _MIX_WEIGHTS, default_weight=0.75
+    )
+    return out.where(F.col("keep")).select("doc_id", "source")
+
+
 def _q_bigram_lm(spark, sf):
     """Corpus bigram LM: top-100 adjacent word pairs with conditional
     probability p(w2|w1) = c(w1,w2)/c(w1·) — both counts exact BIGINTs
@@ -1421,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "unigram_lm": _q_unigram_lm,
         "bigram_lm": _q_bigram_lm,
+        "mix_sources": _q_mix_sources,
     }
 
 
@@ -1719,6 +1736,21 @@ def _pii_oracle_sql() -> str:
           FROM s2
         )
         SELECT doc_id, md5(t) AS clean_md5, n_emails, n_phones, n_ips FROM s3
+    """
+
+
+def _mix_sources_oracle_sql() -> str:
+    """Twin of _q_mix_sources: same md5 coin, same integer thresholds."""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN CAST({int(w * 4294967296)} AS BIGINT)"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    default = int(0.75 * 4294967296)
+    return f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < (CASE {cases} ELSE CAST({default} AS BIGINT) END)
     """
 
 
@@ -2399,4 +2431,5 @@ def oracle_sql() -> dict[str, str]:
             FROM c2 JOIN c1 USING (w1)
             ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 100
         """,
+        "mix_sources": _mix_sources_oracle_sql(),
     }

@@ -1588,3 +1588,33 @@ def bigram_lm(documents: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def mix_sources(
+    documents: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted source mixing (the Pile/DoReMi-style
+    pre-training mixture step): keep each document independently with
+    probability = its source's target weight — downsampling
+    over-represented sources without an expensive exact-count pass.
+
+    Determinism without floats: the per-doc coin is the first 8 hex
+    chars of md5(salt:doc_id) read as a uint32, kept iff coin <
+    floor(weight · 2^32) — a pure INTEGER compare, identical in Spark
+    and DuckDB (and reproducible run-to-run, unlike rand()); the same
+    doc always gets the same verdict for a given salt, so reruns and
+    resumed pipelines agree.
+
+    Scale: zero shuffles — coin, threshold map and verdict all fuse
+    into the scan's project (one CASE over the weight literals).
+    """
+    coin = F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    thr = F.lit(int(default_weight * 4294967296))
+    for src, w in sorted(weights.items()):
+        thr = F.when(F.col("source") == src, F.lit(int(w * 4294967296))).otherwise(thr)
+    return documents.select(
+        "doc_id", "source", (coin < thr).alias("keep")
+    )

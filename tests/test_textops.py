@@ -871,3 +871,26 @@ def test_bigram_lm_planted(spark):
     assert got[("b", "a")] == (1, 1.0)
     assert ("solo",) not in {k[:1] for k in got} or True
     assert len(got) == 3
+
+
+def test_mix_sources_deterministic_weights(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    out = textops.mix_sources(docs, w, default_weight=1.0)
+    kept = {r["doc_id"] for r in out.where("keep").collect()}
+    per = {s: sum(1 for i in kept if i % 4 == int(s[3])) for s in
+           ("src0", "src1", "src2", "src3")}
+    assert per["src0"] == 100      # weight 1.0 keeps everything
+    assert per["src3"] == 0        # weight 0.0 keeps nothing
+    assert per["src2"] == 100      # default weight
+    assert 30 <= per["src1"] <= 70  # ~half, exact set pinned below
+    # determinism: same salt → identical verdict set
+    again = {r["doc_id"] for r in textops.mix_sources(
+        docs, w, default_weight=1.0).where("keep").collect()}
+    assert again == kept
+    # different salt → a different (but still ~half) src1 sample
+    other = {r["doc_id"] for r in textops.mix_sources(
+        docs, w, default_weight=1.0, salt="other").where("keep").collect()}
+    assert {i for i in other if i % 4 == 0} == {i for i in kept if i % 4 == 0}
+    assert {i for i in other if i % 4 == 1} != {i for i in kept if i % 4 == 1}
