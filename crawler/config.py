@@ -119,6 +119,23 @@ class CrawlConfig:
     # --- frontier compaction (log-structured adds/consumed) ---
     compact_every_waves: int = 8
 
+    # --- recrawl TTL (north_rule: the cuckoo tier holds DELETABLE
+    #     url-seen entries; None = seen-forever, reference parity).
+    #     A URL admitted at wave w0 is "seen" through wave w0+ttl-1 and
+    #     becomes RE-DISCOVERABLE at w0+ttl (links pointing at it
+    #     re-admit it; nothing is force-enqueued).  Correctness never
+    #     depends on the cuckoo: the exact backstop filters url_seen by
+    #     freshness — tombstones only keep the bloom prefilter
+    #     effective as entries age out, and compaction rebuilds the
+    #     bloom from live keys so fill and tombstone space stay
+    #     bounded by the LIVE set, not by URLs-ever-seen. ---
+    recrawl_ttl_waves: int | None = None
+    #: re-inject the original seed list every N waves (None = never).
+    #: Seeds bypass the dup filter (DuplicateFilteringSpec semantics),
+    #: so with a recrawl TTL this drives freshness: the re-seeded crawl
+    #: re-discovers pages whose seen-entries have aged out.
+    reseed_every_waves: int | None = None
+
     # --- snapshot expiry (Iceberg expire_snapshots analog) ---
     #: every N waves, drop manifests/data files below the committed
     #: catalog beyond the last `expire_keep_last` versions per table —

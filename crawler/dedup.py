@@ -211,6 +211,7 @@ def dedup_candidates(
     bloom_df: DataFrame,
     cfg: CrawlConfig,
     order_cols: tuple[str, ...] = ("fetch_ms", "source_url", "src_seq", "link_pos"),
+    wave: int | None = None,
 ) -> DataFrame:
     """First-wins dedup of candidate links against URL-seen.
 
@@ -218,6 +219,15 @@ def dedup_candidates(
     Returns the NEW rows only (one per url_canon), in their original
     columns (probe/bookkeeping columns dropped except h1/shard_id which
     the caller needs for the bloom update).
+
+    Recrawl TTL (cfg.recrawl_ttl_waves + wave): the exact backstop only
+    consults url_seen entries still fresh at `wave` — an aged-out entry
+    no longer blocks, so the URL is re-admittable.  The freshness
+    predicate pushes into the url_seen parquet scan; the bloom's stale
+    positives for aged-out keys either carry a cuckoo tombstone
+    (probe-negative, fast path) or fall through to this filtered
+    backstop — correct either way, so correctness never depends on
+    cuckoo capacity.
 
     The returned DataFrame is PERSISTED and materialized; the probe
     intermediate is unpersisted before returning (no storage leak across
@@ -232,6 +242,10 @@ def dedup_candidates(
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     # 3. exact backstop on the maybe-seen minority only
+    if cfg.recrawl_ttl_waves is not None and wave is not None:
+        url_seen = url_seen.where(
+            F.col("wave") > F.lit(int(wave - cfg.recrawl_ttl_waves))
+        )
     survivors = maybe.join(
         url_seen.select("url_canon"), on="url_canon", how="left_anti"
     )

@@ -43,14 +43,29 @@ def request_body_cols() -> list:
     ]
 
 
-def seeds_df(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFrame:
+def seeds_df(
+    spark: SparkSession, seeds: list[str], cfg: CrawlConfig, wave: int = 0
+) -> DataFrame:
     """Seed injection (S4, example-app/Main.scala:30,67): literal seed
-    list → frontier rows, wave_added=0, seq = list position (the
-    reference preserves seed submission order into the queue)."""
+    list → frontier rows, seq = list position (the reference preserves
+    seed submission order into the queue).
+
+    ``wave > 0`` is the periodic RE-seed path (config.reseed_every_waves):
+    rows are keyed into wave ``wave`` with seq = (wave<<32) + 2^31 + i —
+    the 2^31 offset keeps re-seed keys disjoint from link rows admitted
+    into the same wave (their per-host rank lives far below 2^31), so
+    the consumed-log anti-join key (url_canon, wave_added, seq) never
+    collides, and FIFO still puts re-seeds after that wave's
+    discoveries deterministically."""
     rows = [(i, u) for i, u in enumerate(seeds)]
     df = spark.createDataFrame(rows, "i long, url string")
     canon = urlnorm.canonicalize_expr("url")
     host = urlnorm.host_expr("url")
+    seq = (
+        F.col("i")
+        if wave == 0
+        else (F.lit((wave << 32) + (1 << 31)).cast("long") + F.col("i"))
+    )
     return df.select(
         F.col("url"),
         canon.alias("url_canon"),
@@ -61,9 +76,9 @@ def seeds_df(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFra
         *request_body_cols(),
         F.array().cast("array<string>").alias("provenance"),
         F.lit(0.0).alias("priority"),
-        F.col("i").alias("seq"),
-        F.lit(0).alias("not_before_wave"),
-        F.lit(0).alias("wave_added"),
+        seq.alias("seq"),
+        F.lit(wave).cast("int").alias("not_before_wave"),
+        F.lit(wave).cast("int").alias("wave_added"),
     )
 
 

@@ -141,7 +141,13 @@ class Crawl:
             _bucket_blobs(bloom0, cfg), "shard_id"
         )
         self.wh.catalog.commit(
-            -1, versions, config=cfg.to_dict(), stats={"fetched": 0, "bytes": 0}
+            -1,
+            versions,
+            config=cfg.to_dict(),
+            stats={"fetched": 0, "bytes": 0},
+            # the literal seed list rides in the catalog so periodic
+            # re-seeding (config.reseed_every_waves) survives resume
+            seeds=list(seeds),
         )
 
     # -------------------------------------------------------------- wave
@@ -156,8 +162,35 @@ class Crawl:
         cfg, spark, cat = self.cfg, self.spark, self.wh.catalog
         m = WaveMetrics(wave=wave)
 
-        adds = self._read("frontier_adds")
+        adds_base = cat.version_of("frontier_adds")  # pinned once: the
+        # snapshot read, the reseed staging, the wave's own append and
+        # the commit-time intake rebase all reason from THIS committed
+        # version — reading it twice could straddle a concurrent intake
+        # commit and drop the intake's files from the rebase delta
+        adds = self._t("frontier_adds").read(spark, adds_base)
         consumed = self._read("frontier_consumed")
+
+        # ---- periodic re-seeding (config.reseed_every_waves): inject
+        # the original seed list again — seeds bypass the dup filter
+        # (DuplicateFilteringSpec semantics), so with a recrawl TTL this
+        # is the freshness driver that re-discovers an expired graph.
+        # Staged now (against the committed base) and folded into this
+        # wave's adds; the wave's own append chains on top, and the
+        # commit's intake-rebase still diffs from the COMMITTED base, so
+        # concurrent intake rows survive unchanged.
+        reseed_version = None
+        if (
+            cfg.reseed_every_waves
+            and wave > 0
+            and wave % cfg.reseed_every_waves == 0
+        ):
+            seed_list = cat.state().get("seeds") or []
+            if seed_list:
+                reseed_rows = frontier.seeds_df(spark, seed_list, cfg, wave=wave)
+                reseed_version = self._t("frontier_adds").append(
+                    reseed_rows, base_version=adds_base
+                )
+                adds = adds.unionByName(reseed_rows)
         url_seen = self._read("url_seen")
         host_state = self._read("host_state")
         robots = self._read("robots_cache")
@@ -254,12 +287,44 @@ class Crawl:
         cand_shards = [
             r["shard_id"] for r in cand.select("shard_id").distinct().collect()
         ]
+
+        # ---- recrawl TTL: entries whose LATEST admission ages out at
+        # this wave get cuckoo tombstones (config.recrawl_ttl_waves).
+        # A canon with a fresher re-admission must NOT be tombstoned —
+        # the probe skips the exact backstop for tombstoned keys, so a
+        # wrong tombstone would double-admit; hence the anti-join
+        # against fresher rows.  The aged slice is one wave's
+        # admissions (small probe side); tombstoning happens BEFORE the
+        # re-add fold so a key both expiring and re-admitted this wave
+        # ends clean.
+        expired_keys, expired_shards = None, []
+        if (
+            cfg.recrawl_ttl_waves is not None
+            and wave - cfg.recrawl_ttl_waves >= 0
+        ):
+            exp_wave = wave - cfg.recrawl_ttl_waves
+            aged = url_seen.where(F.col("wave") == F.lit(exp_wave))
+            fresher = url_seen.where(F.col("wave") > F.lit(exp_wave))
+            expired_keys = dedup.with_url_keys(
+                aged.join(fresher.select("url_canon"), "url_canon", "left_anti")
+                .select(F.col("url_canon").alias("url")),
+                "url",
+                cfg,
+            ).select("url_canon", "url_hash", "h1", "shard_id").persist()
+            expired_shards = [
+                r["shard_id"]
+                for r in expired_keys.select("shard_id").distinct().collect()
+            ]
+
         bloom_df = t_bloom.read_pruned(
-            self.spark, "shard_id", cand_shards, version=base_bloom
+            self.spark,
+            "shard_id",
+            sorted(set(cand_shards) | set(expired_shards)),
+            version=base_bloom,
         )
 
         # ---- dedupe vs URL-seen (F2-F4); returns persisted+materialized
-        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
+        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg, wave=wave)
         m.emitted = new_links.count()
 
         # ---- stage all table versions against COMMITTED bases
@@ -278,21 +343,32 @@ class Crawl:
         # per-file key metadata) is exactly the case where read_pruned
         # fell back to the FULL snapshot, so the full overwrite below
         # never sees a pruned bloom_df.
-        changed_shards = [
-            r["shard_id"] for r in new_links.select("shard_id").distinct().collect()
-        ]
+        changed_shards = sorted(
+            {
+                r["shard_id"]
+                for r in new_links.select("shard_id").distinct().collect()
+            }
+            | set(expired_shards)
+        )
+
+        def _folded(src, emit):
+            # tombstone-first, then add: update_bloom's re-add clears the
+            # tombstone of a key expiring AND re-admitted in one wave
+            if expired_keys is not None:
+                if emit is not None:
+                    src = src.where(F.col("shard_id").isin(list(emit)))
+                src = dedup.forget_urls(src, expired_keys, cfg, wave)
+            return dedup.update_bloom(src, new_links, cfg, wave, emit_shards=emit)
+
         rewrite = t_bloom.keys_needing_rewrite(base_bloom, changed_shards)
         if rewrite is None:  # no per-file key metadata yet: full rewrite once
             bloom_version = t_bloom.overwrite_keyed(
-                _bucket_blobs(dedup.update_bloom(bloom_df, new_links, cfg, wave), cfg),
-                "shard_id",
+                _bucket_blobs(_folded(bloom_df, None), cfg), "shard_id"
             )
         else:
             shards_per_file = max(1, cfg.bloom_shards // cfg.bloom_file_buckets)
             bloom_version = t_bloom.replace_keys(
-                dedup.update_bloom(
-                    bloom_df, new_links, cfg, wave, emit_shards=rewrite
-                ).repartition(
+                _folded(bloom_df, rewrite).repartition(
                     max(1, -(-len(rewrite) // shards_per_file)), "shard_id"
                 ),
                 base_bloom,
@@ -302,7 +378,10 @@ class Crawl:
         new_rows = frontier.links_to_frontier(new_links, cfg, wave)
         versions = {
             "frontier_adds": self._t("frontier_adds").append(
-                new_rows, base_version=base.get("frontier_adds", 0)
+                new_rows,
+                base_version=(
+                    reseed_version if reseed_version is not None else adds_base
+                ),
             ),
             "frontier_consumed": self._t("frontier_consumed").append(
                 frontier.consumed_keys(scheduled, wave).unionByName(
@@ -364,6 +443,30 @@ class Crawl:
             versions["frontier_consumed"] = self._t("frontier_consumed").overwrite(
                 spark.createDataFrame([], schemas.CONSUMED)
             )
+            if cfg.recrawl_ttl_waves is not None:
+                # TTL compaction: drop aged url_seen rows and REBUILD the
+                # bloom from the live keys — bloom fill and tombstone
+                # space stay bounded by the live set, not URLs-ever-seen
+                live = (
+                    self._t("url_seen")
+                    .read(spark, versions["url_seen"])
+                    .where(F.col("wave") > F.lit(int(wave - cfg.recrawl_ttl_waves)))
+                    .persist()
+                )
+                versions["url_seen"] = self._t("url_seen").overwrite(live)
+                live_keys = dedup.with_url_keys(
+                    live.select(F.col("url_canon").alias("url")), "url", cfg
+                )
+                versions["url_seen_bloom"] = t_bloom.overwrite_keyed(
+                    _bucket_blobs(
+                        dedup.update_bloom(
+                            dedup.empty_bloom_df(spark, cfg), live_keys, cfg, wave
+                        ),
+                        cfg,
+                    ),
+                    "shard_id",
+                )
+                live.unpersist()
 
         # ---- one atomic commit for the whole wave, serialized with the
         # streaming intake: if intake appended to frontier_adds mid-wave,
@@ -374,9 +477,9 @@ class Crawl:
         with cat.lock():
             cur_state = cat.state()
             cur_adds = cur_state["tables"].get("frontier_adds", 0)
-            if cur_adds != base.get("frontier_adds", 0):
+            if cur_adds != adds_base:
                 versions["frontier_adds"] = self._t("frontier_adds").rebase_delta(
-                    versions["frontier_adds"], base.get("frontier_adds", 0), cur_adds
+                    versions["frontier_adds"], adds_base, cur_adds
                 )
             st = cur_state["stats"]
             self.wh.catalog.commit(
@@ -397,6 +500,7 @@ class Crawl:
         m.pending_after = self.pending_count()
 
         for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links,
+                   *([expired_keys] if expired_keys is not None else []),
                    *(to_unpersist if cfg.fetch_robots else [])):
             df.unpersist()
         return m
@@ -413,7 +517,10 @@ class Crawl:
             stats = self.wh.catalog.state()["stats"]
             if cfg.max_fetched is not None and stats["fetched"] >= cfg.max_fetched:
                 break  # TerminationSink predicate
-            if self.pending_count() <= 0:
+            # with periodic re-seeding an empty frontier is NOT terminal —
+            # the next reseed wave repopulates it; run to max_waves /
+            # max_fetched instead (oracle mirrors)
+            if self.pending_count() <= 0 and not cfg.reseed_every_waves:
                 break
             m = self.run_wave(w)
             out.append(m)
@@ -425,6 +532,8 @@ class Crawl:
             # a wave that schedules nothing and adds nothing only advances
             # the clock; bail if that repeats past every host's delay span
             stall = stall + 1 if (m.scheduled == 0 and m.emitted == 0) else 0
+            if cfg.reseed_every_waves:
+                stall = 0  # idle gaps between reseeds are expected
             max_delay = max(
                 [cfg.per_domain_delay_ms, *cfg.domain_delays.values()]
             )

@@ -127,17 +127,52 @@ class Oracle:
             enqueue(
                 ORow(u, urlnorm.canonicalize(u), urlnorm.tpd_of(u), host, 0.0, i, 0)
             )
+        # recrawl TTL mirror (engine: dedup_candidates' freshness filter):
+        # last admission wave per canon; an entry admitted at w0 blocks
+        # through w0+ttl-1 and is re-admittable from w0+ttl.  With
+        # ttl=None the plain ever-seen set applies (reference parity).
+        seen_wave: dict[str, int] = {}
+        ttl = cfg.recrawl_ttl_waves
+
+        def is_seen(canon: str, w: int) -> bool:
+            if ttl is None:
+                return canon in res.url_seen
+            sw = seen_wave.get(canon)
+            return sw is not None and sw > w - ttl
+
         if cfg.seed_url_seen:
-            res.url_seen |= {urlnorm.canonicalize(u) for u in seeds}
+            for u in seeds:
+                c = urlnorm.canonicalize(u)
+                res.url_seen.add(c)
+                seen_wave[c] = 0
 
         total_delivered = 0
         for w in range(cfg.max_waves):
             if cfg.max_fetched is not None and total_delivered >= cfg.max_fetched:
                 break
-            if not any(queues.values()):
+            # engine mirror: with periodic re-seeding an empty frontier
+            # is not terminal (the next reseed repopulates it)
+            if not any(queues.values()) and not cfg.reseed_every_waves:
                 break
             win_start, win_end = w * cfg.wave_ms, (w + 1) * cfg.wave_ms
             fetch_log: list[tuple[int, ORow]] = []  # (fetch_ms, row)
+
+            # periodic re-seeding mirror (loop.run_wave): same seq
+            # arithmetic — (w<<32) + 2^31 + i keeps re-seeds behind the
+            # wave's discoveries and off the consumed-log keys
+            if cfg.reseed_every_waves and w > 0 and w % cfg.reseed_every_waves == 0:
+                for i, u in enumerate(seeds):
+                    enqueue(
+                        ORow(
+                            u,
+                            urlnorm.canonicalize(u),
+                            urlnorm.tpd_of(u),
+                            urlnorm.host_of(u),
+                            0.0,
+                            (w << 32) + (1 << 31) + i,
+                            w,
+                        )
+                    )
 
             if cfg.fetch_robots:
                 # engine mirror: one fetch per uncached host, robots URL
@@ -267,11 +302,13 @@ class Oracle:
             chosen = set()
             for ft, src_url, src_seq, pos, dest, src in candidates:
                 canon = urlnorm.canonicalize(dest)
-                if canon in res.url_seen or canon in chosen:
+                if is_seen(canon, w) or canon in chosen:
                     continue
                 chosen.add(canon)
                 new_rows.append((ft, src_url, src_seq, pos, dest, canon, src))
             res.url_seen |= chosen
+            for c in chosen:
+                seen_wave[c] = w
 
             # frontier merge: per-host rank in discovery order
             by_host: dict[str, list] = {}

@@ -332,3 +332,56 @@ def test_frontier_admission_controls(spark, wh_root):
 
     with _pytest.raises(ValueError):
         CrawlConfig(max_depth=11, max_provenance=10)
+
+
+@pytest.mark.parametrize("compact", [0, 4])
+def test_recrawl_ttl_with_reseed(spark, wh_root, compact):
+    """Recrawl TTL (cuckoo deletable tier end-to-end) + periodic
+    re-seeding: seen-entries age out after ttl waves and the re-seeded
+    crawl re-discovers the cycle — engine ≡ oracle on per-host order
+    and spans; the compact=4 variant exercises the TTL compaction
+    (url_seen live-row rewrite + bloom rebuild from live keys) mid-run
+    without changing the crawl."""
+    import pandas as pd
+
+    from crawler import synth as s
+
+    pages, docs = [], []
+    for k in range(3):
+        doc_id = f"doc:cyc/{k}"
+        docs.append(s._doc(doc_id, f'<a href="/p/{(k + 1) % 3}">next</a>'))
+        pages.append(s._page(f"http://cyc.com/p/{k}", 200, None, doc_id))
+    pages_pd, docs_pd = pd.DataFrame(pages), pd.DataFrame(docs)
+
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100,
+        wave_ms=100,
+        seed_url_seen=True,
+        max_waves=14,
+        bloom_shards=8,
+        recrawl_ttl_waves=6,
+        reseed_every_waves=5,
+        compact_every_waves=compact,
+    )
+    seeds = ["http://cyc.com/p/0"]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, s.pages_df(spark, pages_pd), s.documents_df(spark, docs_pd))
+    c.run()
+    o = Oracle(pages_pd, docs_pd, cfg).run(seeds)
+
+    rows = (
+        c._read("fetched")
+        .select("host", "wave", "fetch_ms", "url")
+        .orderBy("wave", "fetch_ms", "url")
+        .collect()
+    )
+    got = [(r["wave"], r["fetch_ms"], r["url"]) for r in rows]
+    assert got == o.order_per_host.get("cyc.com", [])
+    # the timeline pins real recrawls: 3 unique pages, 8 fetch events
+    assert len(got) == 8 and len({u for _, _, u in got}) == 3
+    # span streams identical on both sides for every delivered URL
+    f = {
+        r["url"]: [(x["kind"], x["text"]) for x in (r["spans"] or [])]
+        for r in c._read("fetched").where(F.col("status") == 200).collect()
+    }
+    assert set(f) == set(o.fetched_spans)
