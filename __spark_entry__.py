@@ -1381,6 +1381,52 @@ def _q_bigram_lm(spark, sf):
     return out.select("w1", "w2", "cnt", F.round("p_cond", 9).alias("p_cond"))
 
 
+def _q_frontier_schedule(spark, sf):
+    """The wave hot path itself, driver-checked: the REAL politeness
+    scheduler (crawler/politeness.schedule_wave — salted lossless top-k
+    prune, exact per-TPD queue rank, closed-form JVM tick arithmetic;
+    RabbitThrottler.scala:59-66 / FrontierThrottler.scala:22-48
+    semantics) over a frontier synthesized from the events table by
+    pure column arithmetic.  Exercises score-ordered dequeue (priority
+    DESC, seq ASC — the north rule's score-ordered queues) and a custom
+    per-domain delay; the DuckDB twin recomputes the schedule from the
+    same closed form (fetch_ms = start + (rank-1)·delay, emitted while
+    < wave end)."""
+    from crawler import politeness, schemas
+    from crawler.config import CrawlConfig
+    from crawler.frontier import request_body_cols
+
+    ev = _read(spark, sf, "events")
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 97).cast("string"), F.lit(".example.com")
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/e/"), F.col("event_id").cast("string")
+    )
+    pending = ev.select(
+        url.alias("url"),
+        url.alias("url_canon"),
+        F.xxhash64(url).alias("url_hash"),
+        host.alias("host"),
+        host.alias("tpd"),
+        F.lit("GET").alias("method"),
+        *request_body_cols(),
+        F.array().cast("array<string>").alias("provenance"),
+        (F.col("event_id") % 5).cast("double").alias("priority"),
+        F.col("event_id").alias("seq"),
+        F.lit(0).cast("int").alias("not_before_wave"),
+        F.lit(0).cast("int").alias("wave_added"),
+    )
+    cfg = CrawlConfig(
+        per_domain_delay_ms=500,
+        wave_ms=10_000,
+        domain_delays={"h7.example.com": 2000},
+    )
+    host_state = spark.createDataFrame([], schemas.HOST_STATE)
+    scheduled, _ = politeness.schedule_wave(pending, host_state, None, cfg, wave=0)
+    return scheduled.select("url", "tpd", "priority", "seq", "delay_ms", "fetch_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "status_filter": _q_status_filter,
@@ -1438,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": _q_unigram_lm,
         "bigram_lm": _q_bigram_lm,
         "mix_sources": _q_mix_sources,
+        "frontier_schedule": _q_frontier_schedule,
     }
 
 
@@ -2432,4 +2479,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 100
         """,
         "mix_sources": _mix_sources_oracle_sql(),
+        # closed-form mirror of politeness.schedule_wave over the same
+        # synthesized frontier: wave 0, no host state ⇒ start = win_start
+        # + delay, fetch_ms = rn·delay; both the top-k cap and the
+        # window-end filter are mirrored (the salted prune is lossless,
+        # so a plain row_number is the correct oracle)
+        "frontier_schedule": """
+            WITH pending AS (
+              SELECT
+                'http://h' || CAST(user_id % 97 AS VARCHAR) || '.example.com/e/'
+                  || CAST(event_id AS VARCHAR) AS url,
+                'h' || CAST(user_id % 97 AS VARCHAR) || '.example.com' AS tpd,
+                CAST(event_id % 5 AS DOUBLE) AS priority,
+                event_id AS seq
+              FROM events
+            ), d AS (
+              SELECT *,
+                     CASE WHEN tpd = 'h7.example.com' THEN 2000 ELSE 500 END AS delay_ms
+              FROM pending
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY tpd ORDER BY priority DESC, seq ASC, url ASC
+                     ) AS rn
+              FROM d
+            )
+            SELECT url, tpd, priority, seq, delay_ms,
+                   CAST(rn * delay_ms AS BIGINT) AS fetch_ms
+            FROM r
+            WHERE rn <= CAST(ceil(10000.0 / delay_ms) AS BIGINT)
+              AND rn * delay_ms < 10000
+        """,
     }

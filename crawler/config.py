@@ -72,6 +72,16 @@ class CrawlConfig:
     #: cap on a declared Crawl-delay — a hostile 'Crawl-delay: 86400'
     #: must not park the TPD's queue for a day
     robots_max_delay_ms: int = 60_000
+    #: sitemap ingestion (seed discovery; requires fetch_robots).  When
+    #: on: (a) Sitemap URLs declared by a host's robots.txt enter the
+    #: frontier the wave the robots entry is cached, through the same
+    #: admission path as extracted links (canonicalize → deny/depth
+    #: gates → URL-seen dedup), with source_url "robots://<host>",
+    #: fetch_ms = wave start (robots fetches are out-of-band), seq 0,
+    #: link_pos = declaration order; (b) fetched documents that look
+    #: like sitemaps (<urlset / <sitemapindex) additionally yield their
+    #: <loc> entries as links (absolute URLs only, per sitemaps.org).
+    ingest_sitemaps: bool = False
 
     # --- server-error cooldown (north_rule extension; off = reference
     #     parity).  When set, a wave in which a TPD answered any status
@@ -104,11 +114,37 @@ class CrawlConfig:
     #: the oracle re.search.  Seeds are never filtered.
     url_deny_patterns: tuple = ()
 
+    # --- frontier scoring (north_rule "score-ordered within partition";
+    #     "none" = reference parity: RabbitMQ queues are pure FIFO, so
+    #     every crawl-discovered row scores 0.0 and seq decides).
+    #     The per-TPD dequeue order is always (priority DESC, seq ASC,
+    #     url_canon ASC); this knob decides what priority crawl-
+    #     discovered rows carry:
+    #       "none"     — 0.0 (FIFO)
+    #       "depth"    — -len(provenance chain): shallow pages first
+    #                    (pure JVM column arithmetic, zero extra work)
+    #       "indegree" — within-wave reference count of the URL: pages
+    #                    many links point at are fetched first.  Counted
+    #                    INSIDE the bloom-probe cogroup where all
+    #                    duplicates of a key already meet — zero extra
+    #                    shuffles.
+    #     Streaming-intake rows keep their submitted priority either way.
+    link_priority: str = "none"
+
     def __post_init__(self) -> None:
         if self.max_depth is not None and self.max_depth > self.max_provenance:
             raise ValueError(
                 f"max_depth={self.max_depth} needs the full provenance chain, "
                 f"but max_provenance={self.max_provenance} truncates it"
+            )
+        if self.link_priority not in ("none", "depth", "indegree"):
+            raise ValueError(
+                f"link_priority must be none|depth|indegree, got {self.link_priority!r}"
+            )
+        if self.ingest_sitemaps and not self.fetch_robots:
+            raise ValueError(
+                "ingest_sitemaps needs fetch_robots=True (sitemap URLs are "
+                "discovered from cached robots.txt entries)"
             )
 
     # --- skew handling ---

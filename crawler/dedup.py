@@ -64,8 +64,13 @@ def empty_bloom_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     return spark.createDataFrame(rows, schemas.URL_SEEN_BLOOM)
 
 
-def _probe_schema(cand_schema: T.StructType) -> T.StructType:
-    return T.StructType(cand_schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)])
+def _probe_schema(
+    cand_schema: T.StructType, with_indegree: bool = False
+) -> T.StructType:
+    fields = list(cand_schema.fields)
+    if with_indegree:
+        fields.append(T.StructField("wave_indegree", T.LongType(), False))
+    return T.StructType(fields + [T.StructField("maybe_seen", T.BooleanType(), False)])
 
 
 def bloom_probe(
@@ -73,6 +78,7 @@ def bloom_probe(
     bloom_df: DataFrame,
     cfg: CrawlConfig,
     first_wins_order: tuple[str, ...] | None = None,
+    with_indegree: bool = False,
 ) -> DataFrame:
     """candidates(+h1,url_hash,shard_id) → + maybe_seen.
 
@@ -84,19 +90,35 @@ def bloom_probe(
     equal host ⇒ equal tpd ⇒ equal shard_id, so all duplicates of a key
     meet in one group.  This folds what would otherwise be a separate
     full shuffle+sort (window over url_canon) into the probe's shuffle.
+
+    with_indegree (requires first_wins_order) additionally emits
+    `wave_indegree`: how many candidate rows referenced each surviving
+    url_canon this wave.  Global per key for the same reason first-wins
+    is — every duplicate lands in this group — so the frontier scorer
+    (config.link_priority="indegree") costs zero extra shuffles.
     """
     m_bits, k = B.shard_bloom_bits(
         cfg.bloom_expected_insertions, cfg.bloom_fpp, cfg.bloom_shards
     )
-    out_schema = _probe_schema(candidates.schema)
+    if with_indegree and not first_wins_order:
+        raise ValueError("with_indegree requires first_wins_order")
+    out_schema = _probe_schema(candidates.schema, with_indegree)
     order = list(first_wins_order) if first_wins_order else None
 
     def probe(key, cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
         if order is not None and len(cand):
+            if with_indegree:
+                cand = cand.assign(
+                    wave_indegree=cand.groupby("url_canon")["url_canon"]
+                    .transform("size")
+                    .astype("int64")
+                )
             cand = cand.sort_values(order, kind="mergesort").drop_duplicates(
                 "url_canon", keep="first"
             )
         if len(cand) == 0:
+            if with_indegree and "wave_indegree" not in cand.columns:
+                cand = cand.assign(wave_indegree=pd.Series([], dtype="int64"))
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
         h1 = cand["h1"].to_numpy()
         h2 = cand["url_hash"].to_numpy()
@@ -212,6 +234,7 @@ def dedup_candidates(
     cfg: CrawlConfig,
     order_cols: tuple[str, ...] = ("fetch_ms", "source_url", "src_seq", "link_pos"),
     wave: int | None = None,
+    with_indegree: bool = False,
 ) -> DataFrame:
     """First-wins dedup of candidate links against URL-seen.
 
@@ -237,7 +260,8 @@ def dedup_candidates(
     # (one shuffle; globally correct — see bloom_probe); persisted so the
     # fresh/maybe split doesn't re-run the probe pipeline
     probed = bloom_probe(
-        candidates, bloom_df, cfg, first_wins_order=order_cols
+        candidates, bloom_df, cfg, first_wins_order=order_cols,
+        with_indegree=with_indegree,
     ).persist()
     fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")

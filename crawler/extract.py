@@ -219,11 +219,72 @@ LOCATION_LINK_POS = -1
 #: enough that a span's links never collide with the next span's
 SPAN_POS_STRIDE = 1 << 20
 
+#: within-span offset for sitemap <loc> links: they sort after the same
+#: span's a[href] links (href index < 2^19 in any real document) and
+#: before the next span's
+SITEMAP_LOC_POS = 1 << 19
+
+#: <loc> value pattern (sitemaps.org): tag pair, optional inner
+#: whitespace; (?is) = case-insensitive + dot-matches-newline.  Legal
+#: in both Java regex (JVM regexp_extract_all) and Python re (twin).
+_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+
+
+def sitemap_locs_expr(text_col) -> Column:
+    """All <loc> values of a text span, in document order — pure JVM.
+
+    XML entity decode is the five predefined entities, &amp; last (a
+    sitemap is XML: &#-numeric refs are vanishingly rare in <loc> and
+    intentionally not handled — documented divergence from html
+    .unescape, mirrored exactly by py_find_locs).  Only absolute
+    scheme://… survivors are returned (the protocol requires full
+    URLs), so no base resolution happens downstream."""
+    locs = F.regexp_extract_all(text_col, F.lit(_LOC_RE), 1)
+    decoded = F.transform(
+        locs,
+        lambda x: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(x, F.lit("&lt;"), F.lit("<")),
+                        F.lit("&gt;"),
+                        F.lit(">"),
+                    ),
+                    F.lit("&quot;"),
+                    F.lit('"'),
+                ),
+                F.lit("&apos;"),
+                F.lit("'"),
+            ),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ),
+    )
+    return F.filter(decoded, lambda x: x.rlike(_ABS_RE.pattern))
+
+
+def py_find_locs(text: str) -> list[str]:
+    """Scalar twin of sitemap_locs_expr (same entity chain, same
+    absolute-only filter)."""
+    out = []
+    for raw in re.findall(_LOC_RE, text or ""):
+        v = (
+            raw.replace("&lt;", "<")
+            .replace("&gt;", ">")
+            .replace("&quot;", '"')
+            .replace("&apos;", "'")
+            .replace("&amp;", "&")
+        )
+        if _ABS_RE.match(v):
+            out.append(v)
+    return out
+
 
 def extract_links(
     fetched: DataFrame,
     same_tpd_only: bool = False,
     source_cols: tuple[str, ...] = ("url", "tpd", "provenance", "seq"),
+    parse_sitemap_locs: bool = False,
 ) -> DataFrame:
     """fetched(url, tpd, spans, location, provenance, seq, ...) →
     links(source_cols..., dest_url, link_source, link_pos).
@@ -232,6 +293,11 @@ def extract_links(
     stride + href index; location links first, matching the reference's
     headerLinks ++ bodyLinks) used for within-wave first-wins dedup
     tie-breaks and frontier FIFO seq assignment.
+
+    parse_sitemap_locs (config.ingest_sitemaps): documents whose text
+    contains <urlset / <sitemapindex additionally yield their <loc>
+    entries (absolute URLs only, pure-JVM extraction) as
+    link_source='sitemap_loc', ordered after the same span's hrefs.
     """
     src = [F.col(c) for c in source_cols]
     page_base = urlnorm.base_uri_expr("url")
@@ -280,6 +346,36 @@ def extract_links(
             ).alias("link_pos"),
         )
     )
+    if parse_sitemap_locs:
+        # doc-level gate: only sitemap-looking documents pay the loc
+        # scan (instr over the already-built doc_text, pure JVM)
+        looks_sm = (F.instr(F.lower(doc_text), "<urlset") > 0) | (
+            F.instr(F.lower(doc_text), "<sitemapindex") > 0
+        )
+        locs = (
+            fetched.where(looks_sm)
+            .select(*src, F.posexplode_outer("spans").alias("_span_pos", "_span"))
+            .where(F.col("_span.kind") == "text")
+            .select(
+                *src,
+                F.col("_span.offset").alias("_span_off"),
+                F.posexplode(sitemap_locs_expr(F.col("_span.text"))).alias(
+                    "_loc_pos", "dest_url"
+                ),
+            )
+            .select(
+                *src,
+                "dest_url",
+                F.lit("sitemap_loc").alias("link_source"),
+                (
+                    F.col("_span_off").cast("long") * F.lit(SPAN_POS_STRIDE)
+                    + F.lit(SITEMAP_LOC_POS)
+                    + F.col("_loc_pos")
+                ).alias("link_pos"),
+            )
+        )
+        content = content.unionByName(locs)
+
     if same_tpd_only:
         content = content.where(F.col("tpd") == tpd_of_url_udf(F.col("dest_url")))
 
@@ -363,6 +459,7 @@ def py_extract_links(
     spans: list[dict],
     location: str | None,
     same_tpd_only: bool = False,
+    parse_sitemap_locs: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Single-doc extraction, identical semantics — (dest, source, pos)."""
     base = re.sub(r"[?#].*$", "", url)
@@ -372,6 +469,10 @@ def py_extract_links(
         if bh:
             resolved = resolve_link(base, bh)
             base = resolved or base
+    lower_doc = doc_text.lower()
+    looks_sm = parse_sitemap_locs and (
+        "<urlset" in lower_doc or "<sitemapindex" in lower_doc
+    )
     out: list[tuple[str, str, int]] = []
     for span in spans or []:
         if span["kind"] != "text":
@@ -383,6 +484,17 @@ def py_extract_links(
             if same_tpd_only and urlnorm.tpd_of(dest) != urlnorm.tpd_of(url):
                 continue
             out.append((dest, "content", span["offset"] * SPAN_POS_STRIDE + i))
+        if looks_sm:
+            for i, dest in enumerate(py_find_locs(span["text"])):
+                if same_tpd_only and urlnorm.tpd_of(dest) != urlnorm.tpd_of(url):
+                    continue
+                out.append(
+                    (
+                        dest,
+                        "sitemap_loc",
+                        span["offset"] * SPAN_POS_STRIDE + SITEMAP_LOC_POS + i,
+                    )
+                )
     if location:
         m = re.match(urlnorm._HOSTURI_RE, url)
         host_uri = m.group(1) if m else url

@@ -86,13 +86,27 @@ def links_to_frontier(new_links: DataFrame, cfg: CrawlConfig, wave: int) -> Data
     """Deduped link rows → FRONTIER rows for wave+1.
 
     new_links carries: dest_url, url_canon, url_hash, host, tpd,
-    provenance (source's), source_url, fetch_ms, src_seq, link_pos.
+    provenance (source's), source_url, fetch_ms, src_seq, link_pos —
+    plus wave_indegree when config.link_priority="indegree".
     Provenance append (Requests.scala:62-65): source.provenance :+
-    source.url, last `max_provenance`."""
+    source.url, last `max_provenance`.
+
+    Priority (north_rule score-ordered frontier, config.link_priority):
+    "none" = 0.0 (reference FIFO parity); "depth" = -len(new chain),
+    shallow-first; "indegree" = this wave's reference count, counted in
+    the dedup probe cogroup.  All three are pure column arithmetic here.
+    """
     rank = F.row_number().over(
         Window.partitionBy("host").orderBy("fetch_ms", "source_url", "src_seq", "link_pos")
     )
     next_wave = wave + 1
+    prov = urlnorm.provenance_expr("provenance", "source_url", cfg.max_provenance)
+    if cfg.link_priority == "depth":
+        prio = (-F.size(prov)).cast("double")
+    elif cfg.link_priority == "indegree":
+        prio = F.col("wave_indegree").cast("double")
+    else:
+        prio = F.lit(0.0)
     return new_links.select(
         F.col("dest_url").alias("url"),
         F.col("url_canon"),
@@ -101,10 +115,8 @@ def links_to_frontier(new_links: DataFrame, cfg: CrawlConfig, wave: int) -> Data
         F.col("tpd"),
         F.lit("GET").alias("method"),
         *request_body_cols(),
-        urlnorm.provenance_expr("provenance", "source_url", cfg.max_provenance).alias(
-            "provenance"
-        ),
-        F.lit(0.0).alias("priority"),
+        prov.alias("provenance"),
+        prio.alias("priority"),
         (F.lit(next_wave << 32).cast("long") + rank.cast("long")).alias("seq"),
         F.lit(next_wave).cast("int").alias("not_before_wave"),
         F.lit(next_wave).cast("int").alias("wave_added"),

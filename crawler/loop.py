@@ -199,6 +199,7 @@ class Crawl:
 
         pend = frontier.pending(adds, consumed).persist()
         robots_version = cat.version_of("robots_cache")
+        new_robots = None
         if cfg.fetch_robots:
             # fetch + cache robots for hosts newly seen in the frontier
             # (out-of-band: robots fetches don't consume politeness budget)
@@ -247,7 +248,37 @@ class Crawl:
             delivered,
             same_tpd_only=cfg.same_tpd_only,
             source_cols=("url", "tpd", "provenance", "seq", "fetch_ms"),
+            parse_sitemap_locs=cfg.ingest_sitemaps,
         )
+        # sitemap ingestion (config.ingest_sitemaps): Sitemap URLs
+        # declared by THIS wave's newly-cached robots entries enter the
+        # same admission path as extracted links.  source_url is the
+        # synthetic "robots://<host>" (it becomes the provenance hop),
+        # fetch_ms = wave start (robots fetches are out-of-band of the
+        # politeness budget), seq 0, link_pos = declaration order.
+        # Cached hosts emitted theirs the wave they were cached, so this
+        # never re-admits; the explode is over the tiny new-robots set
+        # (scan → project, zero extra shuffles).
+        if cfg.ingest_sitemaps and new_robots is not None:
+            from . import urlnorm as _urlnorm
+
+            sm = new_robots.select(
+                F.col("host"), F.posexplode("sitemaps").alias("_pos", "dest_url")
+            ).select(
+                F.concat(F.lit("robots://"), F.col("host")).alias("url"),
+                _urlnorm.tpd_expr(F.col("host")).alias("tpd"),
+                F.array().cast("array<string>").alias("provenance"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(wave * cfg.wave_ms).cast("long").alias("fetch_ms"),
+                F.col("dest_url"),
+                F.lit("sitemap").alias("link_source"),
+                F.col("_pos").cast("long").alias("link_pos"),
+            )
+            if cfg.same_tpd_only:
+                sm = sm.where(
+                    F.col("tpd") == extract.tpd_of_url_udf(F.col("dest_url"))
+                )
+            links_raw = links_raw.unionByName(sm)
         # frontier admission controls (config.max_depth /
         # url_deny_patterns) — BEFORE URL-seen admission, so a dropped
         # link never poisons the seen set against a later shallower /
@@ -324,7 +355,10 @@ class Crawl:
         )
 
         # ---- dedupe vs URL-seen (F2-F4); returns persisted+materialized
-        new_links = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg, wave=wave)
+        new_links = dedup.dedup_candidates(
+            cand, url_seen, bloom_df, cfg, wave=wave,
+            with_indegree=(cfg.link_priority == "indegree"),
+        )
         m.emitted = new_links.count()
 
         # ---- stage all table versions against COMMITTED bases

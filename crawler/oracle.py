@@ -72,6 +72,9 @@ class Oracle:
         #: host → Crawl-delay ms (None when not declared); mirrors the
         #: crawl_delay_ms column of the engine's robots cache
         self.robots_cd: dict[str, int | None] = {}
+        #: host → declared Sitemap URLs (2xx robots only); mirrors the
+        #: sitemaps column of the engine's robots cache
+        self.robots_sm: dict[str, list[str]] = {}
 
     def _fetch_robots(
         self, host: str, any_url: str | None = None
@@ -108,6 +111,7 @@ class Oracle:
             self.robots_cd[host] = robots_mod.py_parse_crawl_delay(
                 text, self.cfg.user_agent
             )
+            self.robots_sm[host] = robots_mod.py_parse_sitemaps(text)
             return robots_mod.py_parse_rules(text, self.cfg.user_agent)
         if status <= 0 or status >= 500:
             return list(robots_mod.DISALLOW_ALL_PY)  # unreachable → disallow
@@ -187,6 +191,9 @@ class Oracle:
                                 min_url[r.host] = r.url
                 for host, u in min_url.items():
                     self.robots[host] = self._fetch_robots(host, u)
+                new_robot_hosts = sorted(min_url)
+            else:
+                new_robot_hosts = []
 
             for tpd in sorted(queues):  # per-host independence; sort = determinism
                 rows = queues[tpd]
@@ -277,9 +284,29 @@ class Oracle:
             candidates = []  # (fetch_ms, source_url, src_seq, link_pos, dest, src_row)
             for ft, r, spans, location in delivered_items:
                 for dest, src_kind, pos in extract.py_extract_links(
-                    r.url, spans or [], location, self.cfg.same_tpd_only
+                    r.url,
+                    spans or [],
+                    location,
+                    self.cfg.same_tpd_only,
+                    parse_sitemap_locs=cfg.ingest_sitemaps,
                 ):
                     candidates.append((ft, r.url, r.seq, pos, dest, r))
+            # sitemap ingestion mirror (loop.run_wave): Sitemap URLs of
+            # THIS wave's newly-cached robots entries join the candidate
+            # stream — source "robots://<host>", fetch_ms = wave start,
+            # seq 0, link_pos = declaration order
+            if cfg.ingest_sitemaps:
+                for h in new_robot_hosts:
+                    src_url = f"robots://{h}"
+                    pseudo = ORow(
+                        src_url, "", urlnorm.tpd_of(h), h, 0.0, 0, w, ()
+                    )
+                    for i, smu in enumerate(self.robots_sm.get(h, [])):
+                        if cfg.same_tpd_only and urlnorm.tpd_of(
+                            smu
+                        ) != urlnorm.tpd_of(h):
+                            continue
+                        candidates.append((win_start, src_url, 0, i, smu, pseudo))
             candidates.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
 
             # frontier admission controls (engine mirror: loop.run_wave
@@ -296,6 +323,15 @@ class Oracle:
                     for c in candidates
                     if not any(_re.search(p, c[4]) for p in cfg.url_deny_patterns)
                 ]
+
+            # within-wave indegree (engine mirror: bloom_probe counts per
+            # url_canon inside the probe cogroup, pre-first-wins) — feeds
+            # link_priority="indegree" scoring
+            canon_counts: dict[str, int] = {}
+            if cfg.link_priority == "indegree":
+                for c in candidates:
+                    cc = urlnorm.canonicalize(c[4])
+                    canon_counts[cc] = canon_counts.get(cc, 0) + 1
 
             # first-wins dedup vs wave-start URL-seen, then within wave
             new_rows: list[tuple] = []
@@ -321,9 +357,16 @@ class Oracle:
                     items, start=1
                 ):
                     prov = (list(src.provenance) + [src.url])[-self.cfg.max_provenance:]
+                    # frontier scoring mirror (frontier.links_to_frontier)
+                    if cfg.link_priority == "depth":
+                        prio = float(-len(prov))
+                    elif cfg.link_priority == "indegree":
+                        prio = float(canon_counts[canon])
+                    else:
+                        prio = 0.0
                     enqueue(
                         ORow(
-                            dest, canon, urlnorm.tpd_of(dest), h, 0.0,
+                            dest, canon, urlnorm.tpd_of(dest), h, prio,
                             ((w + 1) << 32) + rank, w + 1, tuple(prov),
                         )
                     )
