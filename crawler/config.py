@@ -72,6 +72,13 @@ class CrawlConfig:
     #: cap on a declared Crawl-delay — a hostile 'Crawl-delay: 86400'
     #: must not park the TPD's queue for a day
     robots_max_delay_ms: int = 60_000
+    #: robots cache TTL in waves (None = cache forever, reference-free
+    #: default).  A host's cache row older than this is STALE: the host
+    #: is re-fetched the next wave it has pending rows, the fresh row
+    #: supersedes (latest-wins read view — the cache table itself stays
+    #: append-only).  Real-web semantics: RFC 9309 §2.4 allows caching
+    #: "up to 24 hours"; rule changes must be re-honored.
+    robots_ttl_waves: int | None = None
     #: sitemap ingestion (seed discovery; requires fetch_robots).  When
     #: on: (a) Sitemap URLs declared by a host's robots.txt enter the
     #: frontier the wave the robots entry is cached, through the same
@@ -113,6 +120,15 @@ class CrawlConfig:
     #: Python-regex common subset — the engine evaluates rlike (Java),
     #: the oracle re.search.  Seeds are never filtered.
     url_deny_patterns: tuple = ()
+    #: per-TPD admission budget (crawl quota, Heritrix queue-budget
+    #: analog): at most this many crawl-discovered URLs are ever
+    #: ADMITTED per registrable domain — the cheapest place to stop a
+    #: mega-host from consuming the crawl.  Applied after first-wins
+    #: dedup in discovery order (fetch_ms, source_url, src_seq,
+    #: link_pos); a dropped link is NOT marked seen (harmlessly
+    #: re-considered if re-extracted).  Seeds, streaming intake and
+    #: re-seeding bypass it, like the other admission controls.
+    max_urls_per_tpd: int | None = None
 
     # --- frontier scoring (north_rule "score-ordered within partition";
     #     "none" = reference parity: RabbitMQ queues are pure FIFO, so
@@ -146,6 +162,17 @@ class CrawlConfig:
                 "ingest_sitemaps needs fetch_robots=True (sitemap URLs are "
                 "discovered from cached robots.txt entries)"
             )
+        if self.max_urls_per_tpd is not None and self.max_urls_per_tpd < 1:
+            raise ValueError(
+                f"max_urls_per_tpd must be ≥ 1, got {self.max_urls_per_tpd}"
+            )
+        if self.robots_ttl_waves is not None:
+            if not self.fetch_robots:
+                raise ValueError("robots_ttl_waves needs fetch_robots=True")
+            if self.robots_ttl_waves < 1:
+                raise ValueError(
+                    f"robots_ttl_waves must be ≥ 1, got {self.robots_ttl_waves}"
+                )
 
     # --- skew handling ---
     #: candidate cap per host per wave is ceil(wave_ms/delay); the salted

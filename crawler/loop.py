@@ -42,6 +42,7 @@ TABLES = {
     "pages": schemas.PAGES,
     "documents_spans": schemas.DOCUMENTS_SPANS,
     "robots_cache": schemas.ROBOTS_CACHE,
+    "tpd_quota": schemas.TPD_QUOTA,
 }
 
 
@@ -116,6 +117,9 @@ class Crawl:
                 robots
                 if robots is not None
                 else spark.createDataFrame([], schemas.ROBOTS_CACHE)
+            ),
+            "tpd_quota": self._t("tpd_quota").overwrite(
+                spark.createDataFrame([], schemas.TPD_QUOTA)
             ),
         }
         bloom0 = dedup.empty_bloom_df(spark, cfg)
@@ -194,6 +198,11 @@ class Crawl:
         url_seen = self._read("url_seen")
         host_state = self._read("host_state")
         robots = self._read("robots_cache")
+        if cfg.robots_ttl_waves is not None:
+            # TTL mode appends one row per host per refetch — collapse
+            # to the freshest before any reader (incl. the staleness
+            # anti-join: a host is fresh iff its LATEST row is)
+            robots = robots_mod.latest(robots)
         pages = self._read("pages")
         documents = self._read("documents_spans")
 
@@ -202,16 +211,26 @@ class Crawl:
         new_robots = None
         if cfg.fetch_robots:
             # fetch + cache robots for hosts newly seen in the frontier
-            # (out-of-band: robots fetches don't consume politeness budget)
+            # (out-of-band: robots fetches don't consume politeness
+            # budget).  Under robots_ttl_waves a host whose cache row
+            # aged out counts as uncached and is re-fetched; the fresh
+            # row supersedes via the latest-wins view below.
+            fresh_after = (
+                wave - cfg.robots_ttl_waves
+                if cfg.robots_ttl_waves is not None
+                else None
+            )
             if self.fetcher is fetchsim.fetch:
                 new_robots = robots_mod.refresh_robots(
-                    pend, robots, pages, documents, wave, user_agent=cfg.user_agent
+                    pend, robots, pages, documents, wave,
+                    user_agent=cfg.user_agent, fresh_after=fresh_after,
                 ).persist()
             else:
                 # real fetcher installed → robots.txt goes over the wire
                 # through the same O5 seam as page fetches
                 new_robots = robots_mod.refresh_robots_via(
-                    pend, robots, wave, cfg.user_agent, self.fetcher
+                    pend, robots, wave, cfg.user_agent, self.fetcher,
+                    fresh_after=fresh_after,
                 ).persist()
             to_unpersist = [new_robots]
             if new_robots.count() > 0:
@@ -219,6 +238,10 @@ class Crawl:
                     new_robots, base_version=robots_version
                 )
                 robots = robots.unionByName(new_robots)
+                if cfg.robots_ttl_waves is not None:
+                    # refetched hosts now carry two rows — every reader
+                    # (rule split, crawl-delay agg) takes the freshest
+                    robots = robots_mod.latest(robots)
         elif self._t("robots_cache").rows(robots_version) == 0:
             # manifest row-count: skip the robots join when cache is empty
             robots = None
@@ -359,6 +382,35 @@ class Crawl:
             cand, url_seen, bloom_df, cfg, wave=wave,
             with_indegree=(cfg.link_priority == "indegree"),
         )
+
+        # ---- per-TPD admission budget (config.max_urls_per_tpd): rank
+        # this wave's admissions per dest TPD in discovery order and cut
+        # at (cap − already admitted).  One window keyed tpd over the
+        # WAVE's admissions (same O as links_to_frontier's rank) + a
+        # left join with the tiny cumulative-quota table.  A dropped
+        # link is NOT marked seen — the budget filter runs before every
+        # consumer of new_links (url_seen append, bloom update,
+        # frontier merge), so over-budget URLs stay re-considerable.
+        quota = None
+        pre_quota_links = None
+        if cfg.max_urls_per_tpd is not None:
+            from pyspark.sql.window import Window
+
+            quota = self._read("tpd_quota")
+            pre_quota_links = new_links  # persisted by dedup_candidates
+            w_adm = Window.partitionBy("tpd").orderBy(
+                "fetch_ms", "source_url", "src_seq", "link_pos"
+            )
+            new_links = (
+                new_links.join(quota, on="tpd", how="left")
+                .withColumn("_adm_rn", F.row_number().over(w_adm))
+                .where(
+                    F.col("_adm_rn") + F.coalesce(F.col("admitted"), F.lit(0))
+                    <= F.lit(int(cfg.max_urls_per_tpd))
+                )
+                .drop("_adm_rn", "admitted")
+                .persist()
+            )
         m.emitted = new_links.count()
 
         # ---- stage all table versions against COMMITTED bases
@@ -440,6 +492,19 @@ class Crawl:
                 base_version=base.get("lineage", 0),
             ),
         }
+        if quota is not None:
+            # cumulative admission counts (tiny table: one row per TPD
+            # ever admitted to); overwritten per wave like host_state
+            delta = new_links.groupBy("tpd").agg(F.count("*").alias("_d"))
+            versions["tpd_quota"] = self._t("tpd_quota").overwrite(
+                quota.join(delta, on="tpd", how="full_outer").select(
+                    "tpd",
+                    (
+                        F.coalesce(F.col("admitted"), F.lit(0))
+                        + F.coalesce(F.col("_d"), F.lit(0))
+                    ).alias("admitted"),
+                )
+            )
 
         # pending after this wave = (pend − consumed_this_wave) ∪ new rows
         consumed_now = frontier.consumed_keys(scheduled, wave).unionByName(
@@ -534,6 +599,7 @@ class Crawl:
         m.pending_after = self.pending_count()
 
         for df in (pend, scheduled, blocked, fetched_raw, delivered, cand, new_links,
+                   *([pre_quota_links] if pre_quota_links is not None else []),
                    *([expired_keys] if expired_keys is not None else []),
                    *(to_unpersist if cfg.fetch_robots else [])):
             df.unpersist()

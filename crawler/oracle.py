@@ -75,6 +75,9 @@ class Oracle:
         #: host → declared Sitemap URLs (2xx robots only); mirrors the
         #: sitemaps column of the engine's robots cache
         self.robots_sm: dict[str, list[str]] = {}
+        #: host → wave its cache row was fetched (robots_ttl_waves
+        #: mirror; pre-seeded constructor robots count as wave 0)
+        self.robots_fw: dict[str, int] = {h: 0 for h in self.robots}
 
     def _fetch_robots(
         self, host: str, any_url: str | None = None
@@ -95,6 +98,12 @@ class Oracle:
         m = _re.match(r"^(https?://[^/]+)", any_url or "")
         origin = m.group(1) if m else f"http://{host}"
         url = f"{origin}/robots.txt"
+        # every fetch REPLACES the host's cache row (latest-wins under
+        # robots_ttl_waves): a refetch that stops being 2xx must also
+        # forget the previously declared Crawl-delay / Sitemaps, exactly
+        # as the engine's fresh row carries nulls
+        self.robots_cd[host] = None
+        self.robots_sm[host] = []
         page = self.pages.get(url)
         for _ in range(5):  # same budget as robots._follow_redirects
             if page is None or not (300 <= page[0] < 400) or not page[1]:
@@ -136,6 +145,8 @@ class Oracle:
         # through w0+ttl-1 and is re-admittable from w0+ttl.  With
         # ttl=None the plain ever-seen set applies (reference parity).
         seen_wave: dict[str, int] = {}
+        #: per-TPD cumulative admissions (max_urls_per_tpd mirror)
+        tpd_admitted: dict[str, int] = {}
         ttl = cfg.recrawl_ttl_waves
 
         def is_seen(canon: str, w: int) -> bool:
@@ -182,15 +193,28 @@ class Oracle:
                 # engine mirror: one fetch per uncached host, robots URL
                 # from the lexicographically-min pending URL's authority
                 # (robots._robots_requests uses min("url") per host)
+                # NB: named rttl — `ttl` is this function's recrawl-TTL
+                # binding (the is_seen closure reads it); rebinding it
+                # here would silently corrupt URL-seen freshness
+                rttl = cfg.robots_ttl_waves
+
+                def _uncached(host: str) -> bool:
+                    # TTL mirror (robots._robots_requests fresh_after):
+                    # a row with fetched_wave ≤ w - rttl is stale → refetch
+                    if host not in self.robots:
+                        return True
+                    return rttl is not None and self.robots_fw[host] <= w - rttl
+
                 min_url: dict[str, str] = {}
                 for rows in queues.values():
                     for r in rows:
-                        if r.host not in self.robots:
+                        if _uncached(r.host):
                             cur = min_url.get(r.host)
                             if cur is None or r.url < cur:
                                 min_url[r.host] = r.url
                 for host, u in min_url.items():
                     self.robots[host] = self._fetch_robots(host, u)
+                    self.robots_fw[host] = w
                 new_robot_hosts = sorted(min_url)
             else:
                 new_robot_hosts = []
@@ -333,13 +357,23 @@ class Oracle:
                     cc = urlnorm.canonicalize(c[4])
                     canon_counts[cc] = canon_counts.get(cc, 0) + 1
 
-            # first-wins dedup vs wave-start URL-seen, then within wave
+            # first-wins dedup vs wave-start URL-seen, then within wave;
+            # then the per-TPD admission budget (engine mirror: rank per
+            # dest tpd over the first-wins survivors in this same order,
+            # cut at cap − already admitted; dropped links NOT marked
+            # seen)
+            cap = cfg.max_urls_per_tpd
             new_rows: list[tuple] = []
             chosen = set()
             for ft, src_url, src_seq, pos, dest, src in candidates:
                 canon = urlnorm.canonicalize(dest)
                 if is_seen(canon, w) or canon in chosen:
                     continue
+                if cap is not None:
+                    dtpd = urlnorm.tpd_of(dest)
+                    if tpd_admitted.get(dtpd, 0) >= cap:
+                        continue
+                    tpd_admitted[dtpd] = tpd_admitted.get(dtpd, 0) + 1
                 chosen.add(canon)
                 new_rows.append((ft, src_url, src_seq, pos, dest, canon, src))
             res.url_seen |= chosen

@@ -365,17 +365,45 @@ def robots_text_expr(spans_col) -> Column:
     )
 
 
-def _robots_requests(pending: DataFrame, robots_cache: DataFrame) -> DataFrame:
-    """One row per not-yet-cached host: (host, tpd, _rurl).  The robots
-    URL is derived from a representative pending URL's AUTHORITY
-    (scheme://host[:port]) rather than the politeness host column —
-    the host column strips ports, so a port-bearing crawl surface
-    (e.g. a :9090 test server, an :8080 intranet) would otherwise ask
-    the wrong origin for robots.txt.  min(url) keeps it deterministic."""
+def latest(robots_cache: DataFrame) -> DataFrame:
+    """Latest-wins view of the cache: one row per host, max fetched_wave.
+
+    Only needed under config.robots_ttl_waves — the append-only cache
+    then holds one row per host per refetch, and every reader (rule
+    split, crawl-delay agg) must see exactly the freshest.  One window
+    shuffle over the cache (bounded: hosts × refetches); without a TTL
+    the single-row-per-host invariant holds and callers skip this."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("fetched_wave").desc())
+    return (
+        robots_cache.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _robots_requests(
+    pending: DataFrame, robots_cache: DataFrame, fresh_after: int | None = None
+) -> DataFrame:
+    """One row per host with no (fresh) cache entry: (host, tpd, _rurl).
+    The robots URL is derived from a representative pending URL's
+    AUTHORITY (scheme://host[:port]) rather than the politeness host
+    column — the host column strips ports, so a port-bearing crawl
+    surface (e.g. a :9090 test server, an :8080 intranet) would
+    otherwise ask the wrong origin for robots.txt.  min(url) keeps it
+    deterministic.
+
+    fresh_after (config.robots_ttl_waves): a cache row with
+    fetched_wave ≤ fresh_after no longer counts as cached — the host is
+    re-fetched and the new row supersedes via `latest`."""
+    cached = robots_cache
+    if fresh_after is not None:
+        cached = cached.where(F.col("fetched_wave") > F.lit(fresh_after))
     return (
         pending.groupBy("host")
         .agg(F.min("url").alias("_any_url"), F.min("tpd").alias("tpd"))
-        .join(robots_cache.select("host"), on="host", how="left_anti")
+        .join(cached.select("host"), on="host", how="left_anti")
         .select(
             "host",
             "tpd",
@@ -484,10 +512,13 @@ def refresh_robots(
     wave: int,
     user_agent: str = "*",
     max_redirects: int = 5,
+    fresh_after: int | None = None,
 ) -> DataFrame:
     """New ROBOTS_CACHE rows for hosts with pending rows but no cache
-    entry.  One anti-join on host (distinct hosts, tiny) + fetch-sim
-    joins against the web (redirect hops re-join the same web view)."""
+    entry (or a stale one, under config.robots_ttl_waves — see
+    _robots_requests).  One anti-join on host (distinct hosts, tiny) +
+    fetch-sim joins against the web (redirect hops re-join the same web
+    view)."""
     web = pages.join(documents, on="doc_id", how="left").select(
         F.col("url").alias("_w_url"),
         F.col("status").alias("_w_status"),
@@ -506,7 +537,7 @@ def refresh_robots(
         )
 
     first = refetch(
-        _robots_requests(pending, robots_cache).select(
+        _robots_requests(pending, robots_cache, fresh_after).select(
             "host", "tpd", F.col("_rurl").alias("url")
         )
     )
@@ -522,6 +553,7 @@ def refresh_robots_via(
     user_agent: str,
     fetch_fn,
     max_redirects: int = 5,
+    fresh_after: int | None = None,
 ) -> DataFrame:
     """refresh_robots through the pluggable O5 fetcher: when a real
     fetcher is installed (loop.Crawl(fetcher=...)), robots.txt is
@@ -549,7 +581,7 @@ def refresh_robots_via(
         )
 
     first = refetch(
-        _robots_requests(pending, robots_cache).select(
+        _robots_requests(pending, robots_cache, fresh_after).select(
             "host", "tpd", F.col("_rurl").alias("url")
         )
     )

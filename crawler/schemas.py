@@ -129,6 +129,15 @@ URL_SEEN = T.StructType(
     ]
 )
 
+#: per-TPD cumulative ADMISSION count (config.max_urls_per_tpd crawl
+#: quota); empty unless the budget knob is set
+TPD_QUOTA = T.StructType(
+    [
+        T.StructField("tpd", T.StringType(), False),
+        T.StructField("admitted", T.LongType(), False),
+    ]
+)
+
 #: sharded bloom + cuckoo blobs (DuplicateFilter.scala:17,51 semantics,
 #: distributed); one row per shard, shard_id = pmod(murmur3(tpd), n)
 URL_SEEN_BLOOM = T.StructType(
