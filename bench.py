@@ -191,24 +191,70 @@ def main() -> None:
     total = round(_now() - t_all, 3)
     cpu_all = _cpu_delta(c_all, _cpu_sample())
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query battery + frontier wave (urls scheduled+deduped)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "frontier": frontier,
-                "cpus": cpus,
-                "cpu": cpu_all,
-                # per-query host-health evidence (rows + /proc/stat
-                # busy/steal delta): a query number inflated by a
-                # hypervisor-steal window is self-evident
-                "query_evidence": query_evidence,
-            }
-        )
-    )
+    headline = {
+        "metric": "query battery + frontier wave (urls/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": {
+            "urls": frontier["urls"],
+            "sec": frontier["sec"],
+            "urls_per_sec": frontier["urls_per_sec"],
+            "reps": frontier["reps"],
+            # compact per-rep [wall_sec, urls_per_sec, steal_pct]: a
+            # stolen rep is self-evident next to its inflated wall
+            "rep_evidence": [
+                [
+                    r["sec"],
+                    r["urls_per_sec"],
+                    (r["cpu"] or {}).get("steal_pct"),
+                ]
+                for r in frontier["rep_evidence"]
+            ],
+        },
+        "cpus": cpus,
+        "cpu": cpu_all,
+    }
+    # Full evidence (per-query rows + /proc/stat busy/user/sys/steal
+    # deltas, full frontier rep cpu splits) goes to an artifact file +
+    # stderr — NOT the final stdout line.  Round 3's line grew to
+    # ~8.4 KB with query_evidence inline and overflowed the driver's
+    # ~2.3 KB tail capture (BENCH_r03.json parsed: null); the driver
+    # contract is ONE compact JSON line as the LAST stdout output.
+    full = dict(headline)
+    full["frontier"] = frontier
+    full["query_evidence"] = query_evidence
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "artifacts")
+    try:
+        os.makedirs(art_dir, exist_ok=True)
+        art = os.path.join(art_dir, f"bench_full_sf{sf}_{int(time.time())}.json")
+        with open(art, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"full evidence -> {art}", file=sys.stderr)
+    except OSError as e:
+        print(f"artifact write failed: {e}", file=sys.stderr)
+        print(json.dumps(full), file=sys.stderr)
+
+    # guard the driver contract: stay well under the ~2.3 KB capture by
+    # progressively shedding optional evidence (all preserved in the
+    # artifact file) before ever touching the per-query timings
+    def _line():
+        return json.dumps(headline, separators=(",", ":"))
+
+    if len(_line()) > 1800:
+        headline.pop("cpu", None)
+    if len(_line()) > 1800:
+        headline["frontier"]["rep_evidence"] = headline["frontier"]["rep_evidence"][:2]
+    if len(_line()) > 1800:
+        headline["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    if len(_line()) > 1800:
+        headline["queries"] = {
+            k: headline["queries"][k] for k in list(headline["queries"])[:40]
+        }
+        headline["queries_truncated"] = True
+    sys.stdout.flush()
+    print(_line())
 
 
 if __name__ == "__main__":

@@ -187,11 +187,13 @@ class CrawlConfig:
     #     A URL admitted at wave w0 is "seen" through wave w0+ttl-1 and
     #     becomes RE-DISCOVERABLE at w0+ttl (links pointing at it
     #     re-admit it; nothing is force-enqueued).  Correctness never
-    #     depends on the cuckoo: the exact backstop filters url_seen by
-    #     freshness — tombstones only keep the bloom prefilter
-    #     effective as entries age out, and compaction rebuilds the
-    #     bloom from live keys so fill and tombstone space stay
-    #     bounded by the LIVE set, not by URLs-ever-seen. ---
+    #     depends on the cuckoo in either direction: the exact backstop
+    #     filters url_seen by freshness and tombstone hits never bypass
+    #     it (a cuckoo false positive must not double-admit a live key,
+    #     ADVICE r3) — tombstones are deletion bookkeeping, and
+    #     compaction rebuilds the bloom from live keys so fill and
+    #     tombstone space stay bounded by the LIVE set, not by
+    #     URLs-ever-seen. ---
     recrawl_ttl_waves: int | None = None
     #: re-inject the original seed list every N waves (None = never).
     #: Seeds bypass the dup filter (DuplicateFilteringSpec semantics),

@@ -16,8 +16,16 @@ bloom is a prefilter and an exact anti-join is the backstop:
   3. exact backstop: LEFT ANTI join of only the maybe-seen rows against
      url_seen — kills bloom false positives, so membership equality with
      the reference holds at any fpp
-  4. tombstone override: fingerprints in the cuckoo tier are treated as
-     unseen (deletable entries / re-crawl support)
+  4. cuckoo tombstone tier (deletable entries / re-crawl support):
+     ADVISORY, never authoritative.  A 16-bit partial-key cuckoo filter
+     has false positives (~2·4/2^16 per lookup), so a tombstone hit must
+     NOT bypass the exact check — a live key whose fingerprint collides
+     with an aged-out key would be double-admitted (ADVICE r3, high).
+     Tombstoned keys fall through to the backstop like any other
+     bloom-positive row; the backstop's recrawl-TTL freshness filter is
+     what actually re-admits aged keys.  The cuckoo's job is state
+     hygiene between compactions (deletions recorded, cleared on
+     re-add, drained when compaction rebuilds the bloom from live keys)
   5. state update: append new keys to url_seen, fold them into the bloom
      shards (cogrouped, changed shards only)
 
@@ -83,7 +91,14 @@ def bloom_probe(
     """candidates(+h1,url_hash,shard_id) → + maybe_seen.
 
     Cogrouped by shard_id: each shard's blob moves once, candidates probe
-    it vectorized.  Cuckoo tombstones override bloom positives.
+    it vectorized.  maybe_seen is the BLOOM verdict alone — cuckoo
+    tombstones deliberately do NOT mask bloom positives: the cuckoo's
+    false positives (~1e-4/lookup at 16-bit fingerprints) would let a
+    live, still-fresh key that collides with a tombstoned one skip the
+    exact backstop and be double-admitted (ADVICE r3).  Tombstoned keys
+    flow to the backstop like any bloom-positive row; re-admission of
+    aged keys is decided there by the recrawl-TTL freshness filter,
+    which is exact.
 
     When `first_wins_order` is given, within-wave first-wins dedup runs
     INSIDE the same cogroup — correct globally because equal url_canon ⇒
@@ -127,8 +142,6 @@ def bloom_probe(
         else:
             bl = blob.iloc[0]
             maybe = B.bloom_contains(bytes(bl["bloom"]), h1, h2, k)
-            tomb = B.cuckoo_contains(bytes(bl["cuckoo"]), h2)
-            maybe = maybe & ~tomb
         return cand.assign(maybe_seen=maybe)
 
     return (
@@ -197,9 +210,13 @@ def update_bloom(
 
 def forget_urls(bloom_df: DataFrame, keys: DataFrame, cfg: CrawlConfig, wave: int) -> DataFrame:
     """Tombstone URLs (deletable-entry tier): insert their fingerprints
-    into the cuckoo blob so dedup treats them as unseen.  The exact
-    url_seen rows are removed at the next compaction; until then the
-    cuckoo override keeps probe results consistent."""
+    into the cuckoo blob.  ADVISORY bookkeeping only — probes ignore
+    tombstones (see bloom_probe: a cuckoo FP must not bypass the exact
+    backstop), so re-admission of a forgotten URL is decided by the
+    backstop: its url_seen row must be aged out of the recrawl-TTL
+    window (the loop's only forget source) or deleted by the caller.
+    Tombstones are cleared on re-add and drained when compaction
+    rebuilds the bloom from live keys."""
 
     def fold(key, blob: pd.DataFrame, ks: pd.DataFrame) -> pd.DataFrame:
         if len(blob) == 0:
@@ -246,11 +263,15 @@ def dedup_candidates(
     Recrawl TTL (cfg.recrawl_ttl_waves + wave): the exact backstop only
     consults url_seen entries still fresh at `wave` — an aged-out entry
     no longer blocks, so the URL is re-admittable.  The freshness
-    predicate pushes into the url_seen parquet scan; the bloom's stale
-    positives for aged-out keys either carry a cuckoo tombstone
-    (probe-negative, fast path) or fall through to this filtered
-    backstop — correct either way, so correctness never depends on
-    cuckoo capacity.
+    predicate pushes into the url_seen parquet scan.  The bloom's stale
+    positives for aged-out keys all fall through to this filtered
+    backstop (tombstones are advisory and never skip it — a cuckoo
+    false positive must not mask a live key, ADVICE r3), so correctness
+    never depends on the cuckoo in either direction: not on its
+    capacity (false negatives) and not on its fingerprint width (false
+    positives).  Cost: between compactions the backstop join also
+    carries the recrawl-eligible aged keys — a small fraction of the
+    bloom-positive minority, rebuilt away at each TTL compaction.
 
     The returned DataFrame is PERSISTED and materialized; the probe
     intermediate is unpersisted before returning (no storage leak across

@@ -344,13 +344,15 @@ class Crawl:
 
         # ---- recrawl TTL: entries whose LATEST admission ages out at
         # this wave get cuckoo tombstones (config.recrawl_ttl_waves).
-        # A canon with a fresher re-admission must NOT be tombstoned —
-        # the probe skips the exact backstop for tombstoned keys, so a
-        # wrong tombstone would double-admit; hence the anti-join
-        # against fresher rows.  The aged slice is one wave's
-        # admissions (small probe side); tombstoning happens BEFORE the
-        # re-add fold so a key both expiring and re-admitted this wave
-        # ends clean.
+        # Tombstones are ADVISORY bookkeeping — the probe never lets
+        # them bypass the exact backstop (a cuckoo false positive would
+        # double-admit a live key, ADVICE r3); re-admission is decided
+        # by the backstop's freshness filter.  The anti-join against
+        # fresher rows keeps the tombstone state itself clean (a canon
+        # with a fresher re-admission is not deleted).  The aged slice
+        # is one wave's admissions (small probe side); tombstoning
+        # happens BEFORE the re-add fold so a key both expiring and
+        # re-admitted this wave ends clean.
         expired_keys, expired_shards = None, []
         if (
             cfg.recrawl_ttl_waves is not None

@@ -60,6 +60,8 @@ class Oracle:
         documents: pd.DataFrame,
         cfg: CrawlConfig,
         robots: dict[str, list[str]] | None = None,
+        robots_crawl_delay: dict[str, int] | None = None,
+        robots_sitemaps: dict[str, list[str]] | None = None,
     ):
         self.cfg = cfg
         self.pages = {
@@ -70,11 +72,18 @@ class Oracle:
         self.docs = {r.doc_id: list(r.spans) for r in documents.itertuples()}
         self.robots = dict(robots or {})
         #: host → Crawl-delay ms (None when not declared); mirrors the
-        #: crawl_delay_ms column of the engine's robots cache
-        self.robots_cd: dict[str, int | None] = {}
+        #: crawl_delay_ms column of the engine's robots cache.  A
+        #: pre-seeded constructor cache may carry declared values
+        #: (engine parity: schedule_wave applies crawl_delay_ms from ANY
+        #: cache row, warm caches with fetch_robots=False included)
+        self.robots_cd: dict[str, int | None] = {
+            h: (robots_crawl_delay or {}).get(h) for h in self.robots
+        }
         #: host → declared Sitemap URLs (2xx robots only); mirrors the
         #: sitemaps column of the engine's robots cache
-        self.robots_sm: dict[str, list[str]] = {}
+        self.robots_sm: dict[str, list[str]] = {
+            h: list((robots_sitemaps or {}).get(h, [])) for h in self.robots
+        }
         #: host → wave its cache row was fetched (robots_ttl_waves
         #: mirror; pre-seeded constructor robots count as wave 0)
         self.robots_fw: dict[str, int] = {h: 0 for h in self.robots}
@@ -242,11 +251,17 @@ class Oracle:
                     rows.remove(r)
                     res.robots_blocked.append(r.url)
                 delay = cfg.delay_for(tpd)
-                if cfg.fetch_robots and cfg.honor_crawl_delay:
-                    # engine mirror (politeness.schedule_wave): interval
-                    # is the stricter of config and the max Crawl-delay
-                    # ever declared by any CACHED host of this TPD
-                    # (capped) — politeness is durable, not per-wave
+                if cfg.honor_crawl_delay:
+                    # engine mirror (politeness.schedule_wave gates on
+                    # `robots is not None`, i.e. cache presence, NOT
+                    # cfg.fetch_robots — a warm pre-seeded cache with
+                    # fetch_robots=False still applies its declared
+                    # delays): interval is the stricter of config and
+                    # the max Crawl-delay ever declared by any CACHED
+                    # host of this TPD (capped) — politeness is
+                    # durable, not per-wave.  robots_cd is empty when
+                    # no cache exists, so this is a no-op exactly when
+                    # the engine's robots arg is None
                     cds = [
                         cd
                         for h, cd in self.robots_cd.items()

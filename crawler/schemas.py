@@ -192,8 +192,9 @@ ROBOTS_CACHE = T.StructType(
         # the configured per-domain delay, capped (config.robots_max_delay_ms).
         T.StructField("crawl_delay_ms", T.IntegerType(), True),
         # Sitemap URLs declared by the host (sitemaps.org protocol;
-        # global lines, group-independent) — a seed-discovery surface
-        # for tooling; the crawl loop itself never auto-enqueues them.
+        # global lines, group-independent) — a seed-discovery surface;
+        # auto-enqueued through the shared admission path only when
+        # config.ingest_sitemaps is set, otherwise left to tooling.
         T.StructField("sitemaps", T.ArrayType(T.StringType()), False),
         T.StructField("fetched_wave", T.IntegerType(), False),
     ]

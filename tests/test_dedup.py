@@ -83,19 +83,57 @@ def test_bloom_negative_skips_backstop_join(spark):
     assert probed.where("NOT maybe_seen").count() == 50 - n_maybe
 
 
-def test_tombstone_forget_allows_recrawl(spark):
+def test_tombstone_cannot_bypass_exact_backstop(spark):
+    """ADVICE r3 (high): a cuckoo hit must NOT re-admit a key whose
+    url_seen row is still fresh.  The 16-bit partial-key cuckoo has
+    false positives, so a live key colliding with an aged-out key's
+    fingerprint looks tombstoned to the probe — the exact backstop must
+    still block it.  We simulate the collision exactly: tombstone /a's
+    own fingerprint while its url_seen row remains fresh."""
     first = _cand(spark, ["http://t.example.com/a", "http://t.example.com/b"])
     bloom0 = dedup.empty_bloom_df(spark, CFG)
     bloom1 = dedup.update_bloom(bloom0, first, CFG, 0)
     seen = first.select("url_canon", "url_hash", F.lit(0).cast("int").alias("wave"))
-    # forget /a → its fingerprint enters the cuckoo tier
     forget = first.where(F.col("url").endswith("/a"))
     bloom2 = dedup.forget_urls(bloom1, forget, CFG, 1)
+    # probe: tombstones are advisory — bloom verdict unchanged
     probed = dedup.bloom_probe(first, bloom2, CFG)
     m = {r["url"][-1]: r["maybe_seen"] for r in probed.collect()}
-    assert m == {"a": False, "b": True}
-    # re-adding /a clears the tombstone
-    bloom3 = dedup.update_bloom(bloom2, forget, CFG, 2)
-    probed2 = dedup.bloom_probe(first, bloom3, CFG)
-    m2 = {r["url"][-1]: r["maybe_seen"] for r in probed2.collect()}
-    assert m2 == {"a": True, "b": True}
+    assert m == {"a": True, "b": True}
+    # end-to-end: NOTHING re-admitted while both rows are fresh
+    out = dedup.dedup_candidates(first, seen, bloom2, CFG, ("ord",))
+    assert out.count() == 0
+
+
+def test_ttl_recrawl_decided_by_backstop_freshness(spark):
+    """Re-admission of aged keys is the backstop's freshness filter,
+    not the tombstone: /a admitted at wave 0 (aged out at wave 7 with
+    ttl=5) is re-admitted; /b admitted at wave 6 (fresh) stays blocked
+    even though only /a carries a tombstone."""
+    cfg = CrawlConfig(bloom_shards=8, bloom_expected_insertions=10_000,
+                      cuckoo_slots_per_shard=1024, recrawl_ttl_waves=5)
+    first = _cand(spark, ["http://t.example.com/a", "http://t.example.com/b"])
+    bloom1 = dedup.update_bloom(dedup.empty_bloom_df(spark, cfg), first, cfg, 0)
+    seen = first.select(
+        "url_canon",
+        "url_hash",
+        F.when(F.col("url").endswith("/a"), F.lit(0))
+        .otherwise(F.lit(6))
+        .cast("int")
+        .alias("wave"),
+    )
+    bloom2 = dedup.forget_urls(
+        bloom1, first.where(F.col("url").endswith("/a")), cfg, 7
+    )
+    out = dedup.dedup_candidates(first, seen, bloom2, cfg, ("ord",), wave=7)
+    assert [r["url"][-1] for r in out.collect()] == ["a"]
+    # re-adding /a clears its tombstone (state hygiene on re-admission)
+    bloom3 = dedup.update_bloom(bloom2, out, cfg, 7)
+    from crawler import bloom as B
+
+    blobs = {r["shard_id"]: r for r in bloom3.collect()}
+    a_row = first.where(F.col("url").endswith("/a")).collect()[0]
+    ck = bytes(blobs[a_row["shard_id"]]["cuckoo"])
+    import numpy as np
+
+    assert not B.cuckoo_contains(ck, np.array([a_row["url_hash"]]))[0]

@@ -213,3 +213,58 @@ def test_crawl_delay_parse_jvm_twin_parity(spark):
     assert [
         robots_mod.py_parse_crawl_delay(t, "sparkcrawler") for t in texts
     ] == expect
+
+
+def test_warm_cache_crawl_delay_engine_oracle_parity(spark, wh_root):
+    """ADVICE r3: a PRE-SEEDED robots cache carrying a Crawl-delay with
+    fetch_robots=False must schedule identically engine-side (which
+    gates on cache presence, not fetch_robots) and oracle-side (which
+    now accepts constructor crawl-delay values)."""
+    import pandas as pd
+
+    from crawler import synth as s
+    from crawler.loop import Crawl
+    from crawler.oracle import Oracle
+
+    fan = "".join(f'<a href="/q/{i}">x</a>' for i in range(8))
+    pages = [s._page("http://slow.com/p/0", 200, None, "doc:p0")]
+    docs = [s._doc("doc:p0", fan)]
+    for i in range(8):
+        pages.append(s._page(f"http://slow.com/q/{i}", 200, None, f"doc:q{i}"))
+        docs.append(s._doc(f"doc:q{i}", "leaf"))
+    pages_pd, docs_pd = pd.DataFrame(pages), pd.DataFrame(docs)
+
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100, wave_ms=1000, seed_url_seen=True,
+        max_waves=10, bloom_shards=8, fetch_robots=False,
+        honor_crawl_delay=True,
+    )
+    # warm cache: allow-all rules, declared Crawl-delay 500ms
+    warm = spark.createDataFrame(
+        [("slow.com", [], 500, [], 0)], schemas.ROBOTS_CACHE
+    )
+    seeds = ["http://slow.com/p/0"]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, s.pages_df(spark, pages_pd), s.documents_df(spark, docs_pd),
+           robots=warm)
+    c.run()
+    o = Oracle(
+        pages_pd, docs_pd, cfg,
+        robots={"slow.com": []},
+        robots_crawl_delay={"slow.com": 500},
+    ).run(seeds)
+
+    rows = (
+        c._read("fetched")
+        .select("wave", "fetch_ms", "url")
+        .orderBy("wave", "fetch_ms", "url")
+        .collect()
+    )
+    got = [(r["wave"], r["fetch_ms"], r["url"]) for r in rows]
+    assert got == o.order_per_host.get("slow.com", [])
+    # the declared 500ms (not the 100ms config) is the interval: at most
+    # wave_ms/500 = 2 fetches per wave on both sides
+    per_wave: dict[int, int] = {}
+    for w, _, _ in got:
+        per_wave[w] = per_wave.get(w, 0) + 1
+    assert got and max(per_wave.values()) <= 2
