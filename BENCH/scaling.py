@@ -38,17 +38,22 @@ import bench
 # executor count does — only the thread count may vary here
 spark = get_spark("scaling", master="local[{cores}]", shuffle_partitions=32)
 # warm the JVM/codegen so we time the job, not startup
-bench.run_frontier_wave(spark, 50_000)
+bench.run_frontier_wave(spark, 50_000, knobs={knobs})
 # best-of-N inside the JVM too: the host has multi-minute windows of
 # 30-40% hypervisor steal; min is the contention-robust estimator
-runs = [bench.run_frontier_wave(spark, {n_urls}) for _ in range({reps})]
+runs = [bench.run_frontier_wave(spark, {n_urls}, knobs={knobs})
+        for _ in range({reps})]
 res = min(runs, key=lambda r: r["sec"])
 print("RESULT " + json.dumps(res))
 """
 
 
-def run_at(cores: int, n_urls: int, reps: int, retries: int = 2) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_urls=n_urls, reps=reps)
+def run_at(
+    cores: int, n_urls: int, reps: int, retries: int = 2, knobs: bool = False
+) -> dict:
+    code = CHILD.format(
+        repo=REPO, cores=cores, n_urls=n_urls, reps=reps, knobs=knobs
+    )
     last_err = ""
     for _ in range(retries + 1):
         out = subprocess.run(
@@ -65,30 +70,88 @@ def run_at(cores: int, n_urls: int, reps: int, retries: int = 2) -> dict:
     raise RuntimeError(f"child failed at local[{cores}] after retries:\n{last_err}")
 
 
-def measure_pair(lo: int, hi: int, n_urls: int, reps: int) -> dict:
-    r_lo = run_at(lo, n_urls, reps)
-    r_hi = run_at(hi, n_urls, reps)
+def measure_pair(
+    lo: int, hi: int, n_urls: int, reps: int, knobs: bool = False
+) -> dict:
+    r_lo = run_at(lo, n_urls, reps, knobs=knobs)
+    r_hi = run_at(hi, n_urls, reps, knobs=knobs)
     eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo)
     return {"lo": lo, "hi": hi, "r_lo": r_lo, "r_hi": r_hi, "eff": round(eff, 3)}
 
 
+def write_knobs_section(results: list[dict], n_urls: int, reps: int) -> None:
+    """Insert/update a feature-knobs-on gate section in BASELINE.md
+    without touching the main (knobs-off) table or the HISTORY tail."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    gate = results[0]
+    rows = []
+    for p in results:
+        for side in ("r_lo", "r_hi"):
+            cores = p["lo"] if side == "r_lo" else p["hi"]
+            r = p[side]
+            rows.append(
+                f"| local[{cores}] | {r['urls']:,} | {r['sec']} | {r['urls_per_sec']:,} |"
+            )
+    verdict = "PASS" if gate["eff"] >= 0.8 else "FAIL"
+    sec = f"""<!-- KNOBS -->
+## Feature-knobs-ON gate (VERDICT r3 item 5)
+
+Same job + input + methodology as the table above, but with the wave's
+feature knobs enabled end-to-end: link_priority=indegree (scorer folded
+into the dedup cogroup), robots_ttl_waves=5 (latest-wins robots window +
+crawl-delay merge, 1% of hosts cached ×2 rows), recrawl_ttl_waves=50
+(freshness-filtered exact backstop), ingest_sitemaps (declared sitemap
+URLs unioned into the candidate stream), max_urls_per_tpd (admission
+window + quota join).  {n_urls:,} URLs, best of {reps} per config.
+
+| parallelism | URLs | wall (s) | URLs/sec |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+- local[{gate['lo']}] → local[{gate['hi']}]: **E = {gate['eff']:.3f}** — gate ≥ 0.8: **{verdict}**
+
+Measured {time.strftime('%Y-%m-%d %H:%M:%S')}.
+<!-- /KNOBS -->"""
+    with open(path) as f:
+        old = f.read()
+    if "<!-- KNOBS -->" in old and "<!-- /KNOBS -->" in old:
+        a = old.index("<!-- KNOBS -->")
+        b = old.index("<!-- /KNOBS -->") + len("<!-- /KNOBS -->")
+        new = old[:a] + sec + old[b:]
+    elif "<!-- HISTORY -->" in old:
+        h = old.index("<!-- HISTORY -->")
+        new = old[:h] + sec + "\n\n" + old[h:]
+    else:
+        new = old + "\n" + sec + "\n"
+    with open(path, "w") as f:
+        f.write(new)
+    print("updated BENCH/BASELINE.md knobs section")
+
+
 def main() -> None:
+    knobs = "--knobs" in sys.argv
+    argv = [a for a in sys.argv if a != "--knobs"]
     # default sized so fixed per-wave cost (driver planning, worker
     # spawn — ~4-6s/JVM regardless of cores) is amortized: at 4M URLs it
     # is ~6% of local[4]'s wall and the ratio measures overhead, not the
     # engine; measured slopes put the asymptotic E at ~0.89
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_urls = int(argv[1]) if len(argv) > 1 else 16_000_000
+    reps = int(argv[2]) if len(argv) > 2 else 3
     pairs = [(1, 4), (2, 8)]
-    if len(sys.argv) > 4:
-        pairs = [(int(sys.argv[3]), int(sys.argv[4]))]
-        if len(sys.argv) > 6:
-            pairs.append((int(sys.argv[5]), int(sys.argv[6])))
+    if len(argv) > 4:
+        pairs = [(int(argv[3]), int(argv[4]))]
+        if len(argv) > 6:
+            pairs.append((int(argv[5]), int(argv[6])))
 
-    results = [measure_pair(lo, hi, n_urls, reps) for lo, hi in pairs]
+    results = [measure_pair(lo, hi, n_urls, reps, knobs=knobs) for lo, hi in pairs]
     gate = results[0]
-    print(json.dumps({"n_urls": n_urls, "pairs": results,
+    print(json.dumps({"n_urls": n_urls, "knobs": knobs, "pairs": results,
                       "gate": ">= 0.8", "pass": gate["eff"] >= 0.8}, indent=2))
+    if knobs:
+        # knobs mode updates ONLY its own section — the main table stays
+        # the committed knobs-off gate record
+        write_knobs_section(results, n_urls, reps)
+        return
 
     rows = []
     for p in results:

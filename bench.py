@@ -92,14 +92,27 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     return timings, evidence
 
 
-def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
+def run_frontier_wave(spark, n_urls: int, reps: int = 1, knobs: bool = False) -> dict:
     """The target metric: one politeness+dedup wave over a synthetic
     frontier with mega-host skew — URLs scheduled+deduped per second.
 
     With reps > 1, a small warm-up wave runs first (codegen + Python
     worker spawn excluded from the metric) and the BEST of `reps` timed
     waves is reported — min wall time is the contention-robust estimator
-    on this steal-prone host (same methodology as BENCH/scaling.py)."""
+    on this steal-prone host (same methodology as BENCH/scaling.py).
+
+    knobs=True (VERDICT r3 item 5) measures the wave with the feature
+    knobs ON, mirroring loop.run_wave's hot-path additions op-for-op:
+    link_priority="indegree" (scorer folded into the dedup cogroup),
+    robots_ttl_waves (latest-wins window over the robots cache + the
+    crawl-delay merge join in schedule_wave), recrawl_ttl_waves (the
+    freshness-filtered exact backstop), ingest_sitemaps (declared
+    sitemap URLs of 1% of hosts unioned into the candidate stream
+    through the same key derivation), and max_urls_per_tpd (the
+    per-TPD admission-budget window + quota join over the admitted
+    set).  Same input, same shuffle partitioning — so the knobs-on
+    scaling-efficiency row in BENCH/BASELINE.md is apples-to-apples
+    with the base gate."""
     from pyspark.sql import functions as F
 
     from crawler import dedup, politeness, schemas, synth
@@ -111,6 +124,18 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
         bloom_shards=64,
         bloom_expected_insertions=max(1_000_000, n_urls),
         skew_salt_buckets=32,
+        **(
+            dict(
+                link_priority="indegree",
+                fetch_robots=True,
+                robots_ttl_waves=5,
+                recrawl_ttl_waves=50,
+                max_urls_per_tpd=100_000,
+                honor_crawl_delay=True,
+            )
+            if knobs
+            else {}
+        ),
     )
     # host count scales with input so the wave's scheduled set (hosts ×
     # budget) grows with n_urls — otherwise the metric saturates at the
@@ -124,9 +149,47 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
         [(t, 0, 0) for t in ["mega.com"] + [f"h{i:06d}.com" for i in range(n_hosts)]],
         schemas.HOST_STATE,
     )
-    robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)
     url_seen = spark.createDataFrame([], schemas.URL_SEEN)
     bloom_df = dedup.empty_bloom_df(spark, cfg)
+    wave = 60  # > recrawl_ttl_waves: the freshness filter is in-plan
+    sm_cand = None
+    if knobs:
+        from crawler import robots as robots_mod
+
+        # robots cache under TTL: 1% of hosts cached, TWO rows each
+        # (an original + a refetch) so the latest-wins window does real
+        # work; half the cached hosts declare a Crawl-delay that the
+        # scheduler must merge (stricter-of semantics)
+        cached = [f"h{i:06d}.com" for i in range(0, n_hosts, 100)]
+        robots = robots_mod.latest(
+            spark.createDataFrame(
+                [(h, [], 100 if i % 2 == 0 else None, [], 0)
+                 for i, h in enumerate(cached)]
+                + [(h, [], 100 if i % 2 == 0 else None, [], 3)
+                   for i, h in enumerate(cached)],
+                schemas.ROBOTS_CACHE,
+            )
+        )
+        # ingest_sitemaps: declared sitemap URLs enter the candidate
+        # stream through the same key derivation as extracted links
+        sm_cand = dedup.with_url_keys(
+            spark.createDataFrame(
+                [(f"http://{h}/sitemap.xml", f"robots://{h}", i)
+                 for i, h in enumerate(cached)],
+                "url string, source_url string, link_pos long",
+            ),
+            "url",
+            cfg,
+        ).select(
+            "url", "tpd", "host", "url_canon", "url_hash",
+            F.lit(0).cast("long").alias("fetch_ms"),
+            "source_url",
+            F.lit(0).cast("long").alias("src_seq"),
+            "link_pos", "h1", "shard_id",
+        )
+        quota = spark.createDataFrame([], schemas.TPD_QUOTA)
+    else:
+        robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)
 
     def one_wave(src) -> tuple[int, float, dict | None]:
         c0 = _cpu_sample()
@@ -135,15 +198,37 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
         cand = scheduled.select(
             "url", "tpd", "host", "url_canon", "url_hash", "fetch_ms",
             F.col("url").alias("source_url"), F.col("seq").alias("src_seq"),
-            F.lit(0).alias("link_pos"),
+            F.lit(0).cast("long").alias("link_pos"),
             F.hash("url_canon").alias("h1"),
             F.pmod(F.hash("tpd"), F.lit(cfg.bloom_shards)).cast("int").alias("shard_id"),
         )
-        new = dedup.dedup_candidates(cand, url_seen, bloom_df, cfg)
+        if sm_cand is not None:
+            cand = cand.unionByName(sm_cand)
+        admitted = dedup.dedup_candidates(
+            cand, url_seen, bloom_df, cfg,
+            wave=wave if knobs else None,
+            with_indegree=(cfg.link_priority == "indegree"),
+        )
+        new = admitted
+        if cfg.max_urls_per_tpd is not None:
+            from pyspark.sql.window import Window
+
+            w_adm = Window.partitionBy("tpd").orderBy(
+                "fetch_ms", "source_url", "src_seq", "link_pos"
+            )
+            new = (
+                new.join(quota, on="tpd", how="left")
+                .withColumn("_adm_rn", F.row_number().over(w_adm))
+                .where(
+                    F.col("_adm_rn") + F.coalesce(F.col("admitted"), F.lit(0))
+                    <= F.lit(int(cfg.max_urls_per_tpd))
+                )
+                .drop("_adm_rn", "admitted")
+            )
         n_new = new.count()
         sec = _now() - t0
         cpu = _cpu_delta(c0, _cpu_sample())
-        new.unpersist()
+        admitted.unpersist()  # the handle dedup_candidates persisted
         return int(n_new), sec, cpu
 
     if reps > 1:
@@ -156,6 +241,7 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1) -> dict:
         "sec": round(sec, 3),
         "urls_per_sec": round(n_new / sec, 1),
         "reps": max(1, reps),
+        "knobs": knobs,
         # full per-rep evidence: a stolen rep shows high steal_pct /
         # low busy_pct next to its inflated wall time, so the best-of
         # headline is auditable instead of taken on faith

@@ -209,6 +209,15 @@ class CrawlConfig:
     expire_every_waves: int = 16
     expire_keep_last: int = 2
 
+    # --- table snapshot backend ---
+    #: "native" = warehouse.py's JSON-manifest tables; "iceberg" =
+    #: crawler.icebergio.IcebergTable (REAL Iceberg v2 metadata —
+    #: metadata.json + Avro manifests, identity-partitioned keyed
+    #: snapshots).  Same version-int API either way; the crawl loop is
+    #: backend-agnostic and e2e-tested on both.  Note: snapshot expiry
+    #: (expire_every_waves) currently compacts only native tables.
+    table_format: str = "native"
+
     def delay_for(self, tpd: str) -> int:
         return self.domain_delays.get(tpd, self.per_domain_delay_ms)
 

@@ -1,0 +1,1079 @@
+"""Apache Iceberg v2 table-format interop for the warehouse (VERDICT r3
+item 3: the north_rule names "Iceberg tables"; the engine's warehouse is
+an Iceberg-*protocol* analog — this module maps the same ``Table`` API
+onto the REAL Iceberg metadata format so a production run can hand the
+state tables to any Iceberg catalog/reader).
+
+What is real here
+-----------------
+``IcebergTable`` commits produce genuine Iceberg v2 metadata on disk:
+
+* ``metadata/vN.metadata.json`` — format-version 2 table metadata:
+  schemas with field-ids, partition-specs, sort-orders, snapshots with
+  sequence numbers + operation summaries, snapshot-log, metadata-log,
+  and a ``schema.name-mapping.default`` property (the spec's mechanism
+  for resolving parquet files written WITHOUT embedded field-ids, which
+  is what plain Spark parquet writes are).
+* ``metadata/snap-*.avro`` — the snapshot's manifest list: one
+  ``manifest_file`` record per manifest, Avro-encoded with the spec's
+  field-ids (500-517).
+* ``metadata/*-m0.avro`` — manifest files: one ``manifest_entry``
+  (status + data_file struct, field-ids 0-4 / 100-134) per data file.
+* ``metadata/version-hint.text`` — the HadoopCatalog current-version
+  pointer, atomically replaced last (commit = rename, same protocol as
+  warehouse._claim_write_json).
+
+The Avro container files are written by the minimal encoder below
+(magic, schema-in-header, deflate-less null codec, sync-marked blocks)
+and are byte-level standard Avro: tests/test_iceberg_format.py decodes
+them with org.apache.avro 1.12 (the REFERENCE Avro implementation, on
+Spark's JVM classpath) and asserts record-for-record equality with this
+module's own reader — plus spec-conformance of the field-id layout.
+
+Conformance map (warehouse.Table ←→ Iceberg)
+--------------------------------------------
+====================  =====================================================
+warehouse.Table       Iceberg operation
+====================  =====================================================
+append(df)            AppendFiles: new snapshot, operation="append",
+                      parent-snapshot-id = base, new manifest with ADDED
+                      entries + previous manifests carried in the list
+overwrite(df)         ReplaceTable / overwrite: snapshot op="overwrite",
+                      fresh manifest list (old files not referenced)
+read(version=N)       time travel: read snapshot N's manifest list →
+                      manifests → live data files
+read_changes(a, b)    incremental scan: ADDED entries of snapshots a+1..b
+files/rows(version)   snapshot summary: total-data-files/total-records
+latest_version()      version-hint.text (HadoopCatalog current pointer)
+replace_keys(...)     overwrite-by-filter: DELETED entries for rewritten
+                      files + ADDED for replacements (manifest-level;
+                      the warehouse analog is keys_needing_rewrite)
+Catalog.commit        the atomic metadata-location swap (here:
+                      version-hint rename; in a service catalog: CAS)
+Warehouse.expire      expire_snapshots: drop snapshots + unreferenced
+                      manifests/data files
+====================  =====================================================
+
+Keyed snapshots (the bloom table's incremental commit) map to GENUINE
+Iceberg partitioning: ``overwrite_keyed``/``replace_keys`` write under
+an identity partition spec on the key column (spec evolution: spec-id 1
+next to the unpartitioned spec-id 0 appends use), one key value per
+data file, the value recorded in each manifest entry's partition struct
+— so ``read_pruned`` is real Iceberg partition pruning and
+``replace_keys`` is a real overwrite snapshot (DELETED entries for the
+replaced partitions, EXISTING for carried files, ADDED for the
+rewrites).  Identity-partitioned data files omit the source column
+(written via Spark ``partitionBy``); readers reconstitute it from the
+partition metadata as a constant, exactly as the spec's "Column
+Projection" rule prescribes.
+
+Out of scope (sandbox): a live catalog service, positional/equality
+delete files (the engine never row-deletes — state tables are rewritten
+whole or by key-partition, which maps to overwrite), Iceberg's optional
+column-stat metrics (value_counts etc.), and the bucket[N]-transform
+variant of the keyed layout (at the 4096-shard scale knob one would
+group shards into file buckets via the spec's bucket transform instead
+of one file per shard; the sandbox tables run at 8-64 shards where
+identity partitioning IS the natural layout).
+
+Reference files for parity audit: the Iceberg spec (iceberg.apache.org/
+spec — field-id tables for manifest_file 500-517 and data_file 100-146)
+and crawler/warehouse.py for the engine-side analog semantics.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+# --------------------------------------------------------------------------
+# minimal Avro binary codec (writer + reader) — enough for Iceberg manifests
+# --------------------------------------------------------------------------
+
+MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_zigzag(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _enc(value, schema, out: bytearray) -> None:
+    """Encode `value` per (parsed-JSON) Avro `schema` into `out`."""
+    if isinstance(schema, list):  # union: pick the branch by value
+        if value is None:
+            idx = schema.index("null")
+            out += _zigzag(idx)
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        out += _zigzag(idx)
+        _enc(value, schema[idx], out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        out += _zigzag(int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "string":
+        b = value.encode("utf-8")
+        out += _zigzag(len(b)) + b
+    elif t == "bytes":
+        b = bytes(value)
+        out += _zigzag(len(b)) + b
+    elif t == "record":
+        for f in schema["fields"]:
+            _enc(value.get(f["name"]), f["type"], out)
+    elif t == "array":
+        items = list(value or [])
+        if items:
+            out += _zigzag(len(items))
+            for it in items:
+                _enc(it, schema["items"], out)
+        out += _zigzag(0)
+    elif t == "map":
+        entries = dict(value or {})
+        if entries:
+            out += _zigzag(len(entries))
+            for k, v in entries.items():
+                _enc(k, "string", out)
+                _enc(v, schema["values"], out)
+        out += _zigzag(0)
+    else:
+        raise TypeError(f"unsupported avro type {t!r}")
+
+
+def _dec(buf: io.BytesIO, schema):
+    if isinstance(schema, list):
+        return _dec(buf, schema[_read_zigzag(buf)])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_zigzag(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "string":
+        return buf.read(_read_zigzag(buf)).decode("utf-8")
+    if t == "bytes":
+        return buf.read(_read_zigzag(buf))
+    if t == "record":
+        return {f["name"]: _dec(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_zigzag(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                _read_zigzag(buf)
+                n = -n
+            out.extend(_dec(buf, schema["items"]) for _ in range(n))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_zigzag(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_zigzag(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(_read_zigzag(buf)).decode("utf-8")
+                out[k] = _dec(buf, schema["values"])
+    raise TypeError(f"unsupported avro type {t!r}")
+
+
+def write_avro(path: str, schema: dict, records: list[dict]) -> None:
+    """Standard Avro object-container file: header (magic, metadata map
+    with the schema, sync marker), then ONE data block."""
+    sync = os.urandom(16)
+    body = bytearray()
+    for r in records:
+        _enc(r, schema, body)
+    out = bytearray()
+    out += MAGIC
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag(len(kb)) + kb + _zigzag(len(v)) + v
+    out += _zigzag(0)
+    out += sync
+    out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, path)
+
+
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Read back an Avro container file (null codec) using the schema
+    embedded in its own header — (schema, records)."""
+    with open(path, "rb") as f:
+        buf = io.BytesIO(f.read())
+    assert buf.read(4) == MAGIC, f"{path}: not an avro container"
+    meta = _dec(buf, {"type": "map", "values": "bytes"})
+    assert meta.get("avro.codec", b"null") == b"null"
+    schema = json.loads(meta["avro.schema"])
+    sync = buf.read(16)
+    records = []
+    while buf.tell() < len(buf.getbuffer()):
+        n = _read_zigzag(buf)
+        _read_zigzag(buf)  # block byte size
+        records.extend(_dec(buf, schema) for _ in range(n))
+        assert buf.read(16) == sync, f"{path}: sync marker mismatch"
+    return schema, records
+
+
+# --------------------------------------------------------------------------
+# Spark schema → Iceberg schema JSON (with field-ids) + Avro manifest schemas
+# --------------------------------------------------------------------------
+
+_PRIM = {
+    "string": "string",
+    "long": "long",
+    "integer": "int",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def spark_to_iceberg_schema(schema: T.StructType) -> dict:
+    """Assign field-ids depth-first (Iceberg requires unique ids across
+    the whole schema, including nested struct fields and list elements)."""
+    counter = [0]
+
+    def nid() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv(dt: T.DataType):
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = nid()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = nid()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = nid(), nid()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        name = _PRIM.get(dt.typeName())
+        if name is None:
+            raise TypeError(f"no iceberg mapping for spark type {dt}")
+        return name
+
+    # fix struct field ids FIRST (Iceberg assigns top-level + nested in
+    # one depth-first pass; the nested ids come after the field's own)
+    top = conv(schema)
+    top["schema-id"] = 0
+    top["identifier-field-ids"] = []
+    return top
+
+
+def name_mapping(iceberg_schema: dict) -> list[dict]:
+    """`schema.name-mapping.default` — maps parquet column NAMES to the
+    schema's field-ids so files written without embedded ids (plain
+    Spark parquet) resolve correctly in any Iceberg reader (spec:
+    "Column Projection" fallback)."""
+
+    def conv(t) -> list[dict]:
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return [
+                {"field-id": f["id"], "names": [f["name"]], **(
+                    {"fields": conv(f["type"])} if isinstance(f["type"], dict) else {}
+                )}
+                for f in t["fields"]
+            ]
+        if isinstance(t, dict) and t.get("type") == "list":
+            entry = {"field-id": t["element-id"], "names": ["element"]}
+            if isinstance(t["element"], dict):
+                entry["fields"] = conv(t["element"])
+            return [entry]
+        if isinstance(t, dict) and t.get("type") == "map":
+            k = {"field-id": t["key-id"], "names": ["key"]}
+            v = {"field-id": t["value-id"], "names": ["value"]}
+            if isinstance(t["value"], dict):
+                v["fields"] = conv(t["value"])
+            return [k, v]
+        return []
+
+    return conv(iceberg_schema)
+
+
+def _max_field_id(t) -> int:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return max(
+                [max(f["id"], _max_field_id(f["type"])) for f in t["fields"]],
+                default=0,
+            )
+        if t.get("type") == "list":
+            return max(t["element-id"], _max_field_id(t["element"]))
+        if t.get("type") == "map":
+            return max(
+                t["key-id"], t["value-id"],
+                _max_field_id(t["key"]), _max_field_id(t["value"]),
+            )
+    return 0
+
+
+def _avro_field(name: str, typ, fid: int, doc: str | None = None) -> dict:
+    f = {"name": name, "type": typ, "field-id": fid}
+    if doc:
+        f["doc"] = doc
+    return f
+
+
+#: Avro schema of a data_file struct (spec field-ids 100-146; optional
+#: column-stat maps omitted — per spec they are optional fields and the
+#: reader uses the file's embedded schema)
+DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _avro_field("content", "int", 134, "File type (0=DATA)"),
+        _avro_field("file_path", "string", 100),
+        _avro_field("file_format", "string", 101),
+        _avro_field(
+            "partition",
+            {"type": "record", "name": "r102", "fields": []},
+            102,
+        ),
+        _avro_field("record_count", "long", 103),
+        _avro_field("file_size_in_bytes", "long", 104),
+    ],
+}
+
+#: manifest_entry (spec field-ids 0-4); status 0=EXISTING 1=ADDED 2=DELETED
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _avro_field("status", "int", 0),
+        _avro_field("snapshot_id", ["null", "long"], 1),
+        _avro_field("sequence_number", ["null", "long"], 3),
+        _avro_field("file_sequence_number", ["null", "long"], 4),
+        _avro_field("data_file", DATA_FILE_SCHEMA, 2),
+    ],
+}
+
+#: manifest_file (manifest-list entries, spec field-ids 500-517)
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _avro_field("manifest_path", "string", 500),
+        _avro_field("manifest_length", "long", 501),
+        _avro_field("partition_spec_id", "int", 502),
+        _avro_field("content", "int", 517, "0=data, 1=deletes"),
+        _avro_field("sequence_number", "long", 515),
+        _avro_field("min_sequence_number", "long", 516),
+        _avro_field("added_snapshot_id", "long", 503),
+        _avro_field("added_files_count", "int", 504),
+        _avro_field("existing_files_count", "int", 505),
+        _avro_field("deleted_files_count", "int", 506),
+        _avro_field("added_rows_count", "long", 512),
+        _avro_field("existing_rows_count", "long", 513),
+        _avro_field("deleted_rows_count", "long", 514),
+    ],
+}
+
+
+# --------------------------------------------------------------------------
+# the table
+# --------------------------------------------------------------------------
+
+
+class IcebergTable:
+    """warehouse.Table's API over real Iceberg v2 metadata (HadoopCatalog
+    directory layout: ``<root>/<name>/{metadata,data}``, current version
+    via ``metadata/version-hint.text``).
+
+    Version numbers are the same 1-based integers warehouse.Table uses;
+    version N is snapshot N (sequence-number N) in the Iceberg metadata,
+    so `Catalog.commit`-style pinning maps 1:1.
+    """
+
+    def __init__(self, root: str, name: str, schema: T.StructType):
+        self.root = os.path.join(root, name)
+        self.name = name
+        self.schema = schema
+        self.meta_dir = os.path.join(self.root, "metadata")
+        self.data_dir = os.path.join(self.root, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._ice_schema = spark_to_iceberg_schema(schema)
+
+    # ------------------------------------------------------------ metadata
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def latest_version(self) -> int:
+        """Highest PUBLISHED metadata version.  Listed from the
+        metadata files (like warehouse.Table.latest_version), not the
+        hint — two concurrent stagers racing the hint write could
+        otherwise regress it; the hint is a convenience pointer for
+        external HadoopCatalog-style readers."""
+        try:
+            metas = os.listdir(self.meta_dir)
+        except OSError:
+            return 0
+        versions = [
+            int(m[1:-len(".metadata.json")])
+            for m in metas
+            if m.startswith("v") and m.endswith(".metadata.json")
+            and m[1:-len(".metadata.json")].isdigit()
+        ]
+        return max(versions, default=0)
+
+    def _metadata_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"snapshots": [], "last-sequence-number": 0}
+        with open(self._metadata_path(v)) as f:
+            return json.load(f)
+
+    def _snapshot(self, md: dict, seq: int) -> dict | None:
+        for s in md.get("snapshots", []):
+            if s["sequence-number"] == seq:
+                return s
+        return None
+
+    # ---------------------------------------------------------------- read
+
+    def _live_entries(self, version: int) -> list[dict]:
+        """The non-DELETED manifest entries visible at `version`,
+        resolved the Iceberg way: snapshot → manifest list → manifests.
+        Each entry carries data_file.{file_path, record_count,
+        file_size_in_bytes, partition} + snapshot/sequence numbers."""
+        if version == 0:
+            return []
+        md = self.metadata(version)
+        snap = self._snapshot(md, version)
+        if snap is None:
+            return []
+        _, manifests = read_avro(snap["manifest-list"])
+        out = []
+        for m in manifests:
+            _, entries = read_avro(m["manifest_path"])
+            out.extend(e for e in entries if e["status"] != 2)  # 2=DELETED
+        return out
+
+    def files(self, version: int) -> list[str]:
+        return [e["data_file"]["file_path"] for e in self._live_entries(version)]
+
+    def rows(self, version: int) -> int:
+        return sum(e["data_file"]["record_count"] for e in self._live_entries(version))
+
+    def _read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        """Assemble a DataFrame from manifest entries.  Identity-
+        partitioned files omit the source column (Spark partitionBy
+        layout); per the spec's Column Projection rule the value comes
+        from the entry's partition struct as a constant."""
+        from pyspark.sql import functions as F
+
+        plain = [
+            e["data_file"]["file_path"]
+            for e in entries
+            if not e["data_file"]["partition"]
+        ]
+        parted: dict[tuple, list[str]] = {}
+        for e in entries:
+            part = e["data_file"]["partition"]
+            if part:
+                parted.setdefault(tuple(sorted(part.items())), []).append(
+                    e["data_file"]["file_path"]
+                )
+        dfs = []
+        if plain:
+            dfs.append(spark.read.schema(self.schema).parquet(*plain))
+        cols = [f.name for f in self.schema.fields]
+        for part_items, paths in sorted(parted.items()):
+            part = dict(part_items)
+            sub = T.StructType(
+                [f for f in self.schema.fields if f.name not in part]
+            )
+            df = spark.read.schema(sub).parquet(*paths)
+            for k, v in part.items():
+                dt = self.schema[k].dataType
+                df = df.withColumn(k, F.lit(v).cast(dt))
+            dfs.append(df.select(cols))
+        if not dfs:
+            return spark.createDataFrame([], self.schema)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        return self._read_entries(spark, self._live_entries(v))
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        keys,
+        version: int | None = None,
+    ) -> DataFrame:
+        """GENUINE Iceberg partition pruning: keep only the manifest
+        entries whose identity-partition value is in `keys`.  Falls back
+        to the full snapshot when any live file is unpartitioned (parity
+        with warehouse.Table.read_pruned's no-metadata fallback)."""
+        v = self.latest_version() if version is None else version
+        entries = self._live_entries(v)
+        if any(key_col not in e["data_file"]["partition"] for e in entries):
+            return self.read(spark, v)
+        ks = set(keys)
+        return self._read_entries(
+            spark,
+            [e for e in entries if e["data_file"]["partition"][key_col] in ks],
+        )
+
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog scan — warehouse.Table.read_changes
+        contract (schema + `_change_type` 'insert'|'delete'), derived
+        the Iceberg way from the two snapshots' live manifest entries:
+        data files are immutable, so a file live only in the newer
+        snapshot is wholly inserted rows and one live only in the older
+        is wholly deleted rows."""
+        from pyspark.sql import functions as F
+
+        to_v = self.latest_version() if to_version is None else to_version
+        old = {
+            e["data_file"]["file_path"]: e
+            for e in self._live_entries(from_version)
+        }
+        new = {e["data_file"]["file_path"]: e for e in self._live_entries(to_v)}
+        out = None
+        for paths, src, kind in (
+            (sorted(set(new) - set(old)), new, "insert"),
+            (sorted(set(old) - set(new)), old, "delete"),
+        ):
+            if not paths:
+                continue
+            part = self._read_entries(spark, [src[p] for p in paths]).withColumn(
+                "_change_type", F.lit(kind)
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return (
+                spark.createDataFrame([], self.schema)
+                .withColumn("_change_type", F.lit("insert"))
+                .limit(0)
+            )
+        return out
+
+    # --------------------------------------------------------------- write
+
+    def _write_datafiles(self, df: DataFrame) -> list[tuple[str, int, int]]:
+        """(path, rows, bytes) of Spark-written immutable parquet files."""
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df = df.select([c.name for c in self.schema.fields])
+        df.write.mode("overwrite").parquet(out)
+        files = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(out, f)
+            n = pq.ParquetFile(p).metadata.num_rows
+            if n == 0:
+                os.unlink(p)
+            else:
+                files.append((p, n, os.path.getsize(p)))
+        return files
+
+    def _entry(
+        self,
+        status: int,
+        snap_id: int | None,
+        seq: int | None,
+        p: str,
+        n: int,
+        sz: int,
+        partition: dict | None = None,
+    ) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": dict(partition or {}),
+                "record_count": n,
+                "file_size_in_bytes": sz,
+            },
+        }
+
+    def _partition_avro_fields(self, key_col: str | None) -> list[dict]:
+        if key_col is None:
+            return []
+        avro_t = {"integer": "int", "long": "long", "string": "string"}[
+            self.schema[key_col].dataType.typeName()
+        ]
+        # spec: partition field-ids start at 1000
+        return [_avro_field(key_col, avro_t, 1000)]
+
+    def _write_manifest(
+        self,
+        snap_id: int,
+        seq: int,
+        entries: list[dict],
+        key_col: str | None = None,
+    ) -> dict:
+        """Write one manifest file; returns its manifest_file record for
+        the manifest list.  `entries` may mix ADDED(1)/EXISTING(0)/
+        DELETED(2) statuses; counts are tallied per status."""
+        path = os.path.join(self.meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        part_fields = self._partition_avro_fields(key_col)
+        schema = dict(MANIFEST_ENTRY_SCHEMA)
+        if part_fields:
+            df_schema = json.loads(json.dumps(DATA_FILE_SCHEMA))
+            for f in df_schema["fields"]:
+                if f["name"] == "partition":
+                    f["type"] = {
+                        "type": "record",
+                        "name": "r102",
+                        "fields": part_fields,
+                    }
+            schema = {
+                "type": "record",
+                "name": "manifest_entry",
+                "fields": [
+                    f if f["name"] != "data_file" else _avro_field("data_file", df_schema, 2)
+                    for f in MANIFEST_ENTRY_SCHEMA["fields"]
+                ],
+            }
+        write_avro(path, schema, entries)
+        by = {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+        for e in entries:
+            by[e["status"]][0] += 1
+            by[e["status"]][1] += e["data_file"]["record_count"]
+        seqs = [e["sequence_number"] for e in entries if e["sequence_number"]]
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 1 if key_col else 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs, default=seq),
+            "added_snapshot_id": snap_id,
+            "added_files_count": by[1][0],
+            "existing_files_count": by[0][0],
+            "deleted_files_count": by[2][0],
+            "added_rows_count": by[1][1],
+            "existing_rows_count": by[0][1],
+            "deleted_rows_count": by[2][1],
+        }
+
+    def _commit(
+        self,
+        operation: str,
+        manifests: list[dict],
+        base: int,
+        snap_id: int,
+        added_files: int,
+        added_rows: int,
+    ) -> int:
+        """Publish snapshot v = base+1 from prebuilt manifest_file
+        records: write the manifest list, the new metadata.json
+        (exclusive-create claim, retrying at the next slot if a
+        concurrent stager took it — the warehouse._publish protocol),
+        then swing version-hint.text."""
+        prev_md = self.metadata(base) if base else {"snapshots": []}
+        now_ms = int(time.time() * 1000)
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_avro(ml_path, MANIFEST_FILE_SCHEMA, manifests)
+
+        total_files = sum(
+            m["added_files_count"] + m["existing_files_count"] for m in manifests
+        )
+        total_rows = sum(
+            m["added_rows_count"] + m["existing_rows_count"] for m in manifests
+        )
+        v = base + 1
+        snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": v,
+            "timestamp-ms": now_ms,
+            "manifest-list": ml_path,
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(added_files),
+                "added-records": str(added_rows),
+                "total-data-files": str(total_files),
+                "total-records": str(total_rows),
+            },
+            "schema-id": 0,
+        }
+        if operation == "append" and base:
+            snap["parent-snapshot-id"] = (
+                self._snapshot(prev_md, base) or {}
+            ).get("snapshot-id")
+
+        # partition-spec evolution: carry every spec ever referenced;
+        # add spec 1 (identity on the key column) when a keyed manifest
+        # appears.  source-id resolves the key column in the schema.
+        specs = {s["spec-id"]: s for s in prev_md.get("partition-specs", [])}
+        specs.setdefault(0, {"spec-id": 0, "fields": []})
+        keyed = [m for m in manifests if m["partition_spec_id"] == 1]
+        if keyed and 1 not in specs:
+            key_col = self._key_col_of(keyed[0])
+            src = next(
+                f["id"]
+                for f in self._ice_schema["fields"]
+                if f["name"] == key_col
+            )
+            specs[1] = {
+                "spec-id": 1,
+                "fields": [
+                    {
+                        "name": key_col,
+                        "transform": "identity",
+                        "source-id": src,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+
+        md = {
+            "format-version": 2,
+            "table-uuid": prev_md.get("table-uuid", str(uuid.uuid4())),
+            "location": self.root,
+            "last-sequence-number": v,
+            "last-updated-ms": now_ms,
+            "last-column-id": _max_field_id(self._ice_schema),
+            "current-schema-id": 0,
+            "schemas": [self._ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [specs[k] for k in sorted(specs)],
+            "last-partition-id": 1000,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    name_mapping(self._ice_schema)
+                ),
+                "write.format.default": "parquet",
+            },
+            "current-snapshot-id": snap_id,
+            "snapshots": prev_md.get("snapshots", []) + [snap],
+            "snapshot-log": prev_md.get("snapshot-log", [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+            "metadata-log": prev_md.get("metadata-log", [])
+            + (
+                [{"timestamp-ms": now_ms, "metadata-file": self._metadata_path(base)}]
+                if base
+                else []
+            ),
+        }
+        # commit point: EXCLUSIVE create of the metadata file (the
+        # HadoopTableOperations rename-commit); a concurrent stager that
+        # took the slot surfaces as an explicit conflict, not silent
+        # clobbering.  (The warehouse backend additionally renumbers and
+        # retries — Iceberg seq numbers ride inside the manifests, so a
+        # renumber would need a manifest rewrite; out of sandbox scope.)
+        mp = self._metadata_path(v)
+        tmp = f"{mp}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(md, f, indent=1)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"{self.name}: concurrent commit took v{v}; re-stage "
+                f"against the new base"
+            )
+        os.unlink(tmp)
+        # convenience pointer for external HadoopCatalog-style readers
+        ht = f"{self._hint_path()}.tmp.{uuid.uuid4().hex}"
+        with open(ht, "w") as f:
+            f.write(str(v))
+        os.replace(ht, self._hint_path())
+        return v
+
+    @staticmethod
+    def _key_col_of(manifest_file_rec: dict) -> str:
+        """Partition-field name from a keyed manifest's embedded schema."""
+        sch, _ = read_avro(manifest_file_rec["manifest_path"])
+        df_schema = next(
+            f["type"] for f in sch["fields"] if f["name"] == "data_file"
+        )
+        part = next(
+            f["type"] for f in df_schema["fields"] if f["name"] == "partition"
+        )
+        return part["fields"][0]["name"]
+
+    @staticmethod
+    def _snap_id() -> int:
+        return int.from_bytes(os.urandom(8), "big") >> 1
+
+    def _carried(self, base: int) -> list[dict]:
+        if not base:
+            return []
+        parent = self._snapshot(self.metadata(base), base)
+        if parent is None:
+            return []
+        _, carried = read_avro(parent["manifest-list"])
+        return carried
+
+    def append(self, df: DataFrame, base_version: int | None = None) -> int:
+        base = self.latest_version() if base_version is None else base_version
+        snap_id, v = self._snap_id(), base + 1
+        datafiles = self._write_datafiles(df)
+        mf = self._write_manifest(
+            snap_id,
+            v,
+            [self._entry(1, snap_id, v, p, n, sz) for p, n, sz in datafiles],
+        )
+        return self._commit(
+            "append",
+            [mf] + self._carried(base),
+            base,
+            snap_id,
+            added_files=len(datafiles),
+            added_rows=sum(n for _, n, _ in datafiles),
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        snap_id, v = self._snap_id(), base + 1
+        datafiles = self._write_datafiles(df)
+        mf = self._write_manifest(
+            snap_id,
+            v,
+            [self._entry(1, snap_id, v, p, n, sz) for p, n, sz in datafiles],
+        )
+        return self._commit(
+            "overwrite",
+            [mf],
+            base,
+            snap_id,
+            added_files=len(datafiles),
+            added_rows=sum(n for _, n, _ in datafiles),
+        )
+
+    # ---- keyed snapshots: identity-partitioned, one key per data file ----
+
+    def _write_datafiles_keyed(
+        self, df: DataFrame, key_col: str
+    ) -> list[tuple[str, int, int, object]]:
+        """Spark partitionBy write: <dir>/<key_col>=<v>/part-*.parquet.
+        The source column is omitted from the files (identity-partition
+        layout); readers reconstitute it from the partition metadata.
+        Returns (path, rows, bytes, key_value) per file."""
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df = df.select([c.name for c in self.schema.fields])
+        df.write.mode("overwrite").partitionBy(key_col).parquet(out)
+        dt = self.schema[key_col].dataType.typeName()
+        conv = int if dt in ("integer", "long") else str
+        files = []
+        for d in sorted(os.listdir(out)):
+            if not d.startswith(f"{key_col}="):
+                continue
+            val = conv(d.split("=", 1)[1])
+            sub = os.path.join(out, d)
+            for f in sorted(os.listdir(sub)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(sub, f)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n == 0:
+                    os.unlink(p)
+                else:
+                    files.append((p, n, os.path.getsize(p), val))
+        return files
+
+    def overwrite_keyed(self, df: DataFrame, key_col: str) -> int:
+        """Fresh snapshot with every data file identity-partitioned on
+        key_col — establishes the pruned/partial-rewrite layout."""
+        base = self.latest_version()
+        snap_id, v = self._snap_id(), base + 1
+        datafiles = self._write_datafiles_keyed(df, key_col)
+        mf = self._write_manifest(
+            snap_id,
+            v,
+            [
+                self._entry(1, snap_id, v, p, n, sz, {key_col: val})
+                for p, n, sz, val in datafiles
+            ],
+            key_col=key_col,
+        )
+        return self._commit(
+            "overwrite",
+            [mf],
+            base,
+            snap_id,
+            added_files=len(datafiles),
+            added_rows=sum(n for _, n, _, _ in datafiles),
+        )
+
+    def keys_needing_rewrite(self, version: int, changed: list) -> list | None:
+        """File-granularity expansion of a changed-key set.  With one
+        key per data file this is exactly the changed keys that have a
+        live file; None when any live file is unpartitioned (caller
+        must overwrite_keyed once to establish the layout) — parity
+        with warehouse.Table.keys_needing_rewrite."""
+        entries = self._live_entries(version)
+        vals = set()
+        for e in entries:
+            part = e["data_file"]["partition"]
+            if not part:
+                return None
+            vals.update(part.values())
+        return sorted(vals.intersection(set(changed)))
+
+    def replace_keys(self, df: DataFrame, base_version: int, key_col: str) -> int:
+        """Real Iceberg overwrite-by-partition: df's partitions get
+        ADDED entries, the base files of those partitions get DELETED
+        entries, every other base file carries forward as EXISTING —
+        one fresh manifest, zero data rewrite outside df's keys."""
+        snap_id, v = self._snap_id(), base_version + 1
+        datafiles = self._write_datafiles_keyed(df, key_col)
+        new_vals = {val for _, _, _, val in datafiles}
+        entries = [
+            self._entry(1, snap_id, v, p, n, sz, {key_col: val})
+            for p, n, sz, val in datafiles
+        ]
+        for e in self._live_entries(base_version):
+            part = e["data_file"]["partition"]
+            if key_col not in part:
+                raise ValueError(
+                    f"{self.name}: replace_keys on an unpartitioned file "
+                    f"{e['data_file']['file_path']} — overwrite_keyed first"
+                )
+            d = e["data_file"]
+            entries.append(
+                self._entry(
+                    2 if part[key_col] in new_vals else 0,
+                    e["snapshot_id"],
+                    e["sequence_number"],
+                    d["file_path"],
+                    d["record_count"],
+                    d["file_size_in_bytes"],
+                    part,
+                )
+            )
+        mf = self._write_manifest(snap_id, v, entries, key_col=key_col)
+        return self._commit(
+            "overwrite",
+            [mf],
+            base_version,
+            snap_id,
+            added_files=len(datafiles),
+            added_rows=sum(n for _, n, _, _ in datafiles),
+        )
+
+    def rebase_delta(self, staged: int, old_base: int, new_base: int) -> int:
+        """Optimistic-concurrency rebase (warehouse.Table.rebase_delta
+        semantics): new snapshot = staged's live files + whatever a
+        concurrent APPENDER added between old_base and new_base, all as
+        EXISTING entries in one fresh manifest."""
+        if new_base == old_base:
+            return staged
+        snap_id, v = self._snap_id(), self.latest_version() + 1
+        old_files = set(self.files(old_base))
+        delta = [
+            e
+            for e in self._live_entries(new_base)
+            if e["data_file"]["file_path"] not in old_files
+        ]
+        entries = []
+        key_col = None
+        for e in self._live_entries(staged) + delta:
+            d = e["data_file"]
+            part = d["partition"]
+            if part:
+                key_col = next(iter(part))
+            entries.append(
+                self._entry(
+                    0,
+                    e["snapshot_id"],
+                    e["sequence_number"],
+                    d["file_path"],
+                    d["record_count"],
+                    d["file_size_in_bytes"],
+                    part,
+                )
+            )
+        mf = self._write_manifest(snap_id, v, entries, key_col=key_col)
+        return self._commit(
+            "append", [mf], v - 1, snap_id, added_files=0, added_rows=0
+        )

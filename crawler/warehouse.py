@@ -486,17 +486,32 @@ class Catalog:
 
 
 class Warehouse:
-    """Catalog + lazily-created tables under one root directory."""
+    """Catalog + lazily-created tables under one root directory.
 
-    def __init__(self, root: str):
+    table_format selects the snapshot backend: "native" (this module's
+    JSON-manifest Table) or "iceberg" (crawler.icebergio.IcebergTable —
+    REAL Iceberg v2 metadata: metadata.json + Avro manifest lists/
+    manifests, identity-partitioned keyed snapshots).  Both expose the
+    same version-int API, so the Catalog's multi-table atomic commit —
+    the piece single-table Iceberg leaves to a service catalog's
+    transaction — works unchanged on top of either."""
+
+    def __init__(self, root: str, table_format: str = "native"):
         self.root = root
+        self.table_format = table_format
         self.catalog = Catalog(root)
-        self._tables: dict[str, Table] = {}
+        self._tables: dict[str, object] = {}
 
-    def table(self, name: str, schema: T.StructType) -> Table:
+    def table(self, name: str, schema: T.StructType):
         t = self._tables.get(name)
         if t is None:
-            t = self._tables[name] = Table(self.root, name, schema)
+            if self.table_format == "iceberg":
+                from .icebergio import IcebergTable
+
+                t = IcebergTable(self.root, name, schema)
+            else:
+                t = Table(self.root, name, schema)
+            self._tables[name] = t
         return t
 
     def read_committed(

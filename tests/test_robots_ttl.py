@@ -95,3 +95,44 @@ def test_ttl_validation():
         CrawlConfig(fetch_robots=True, robots_ttl_waves=0)
     with pytest.raises(ValueError, match="fetch_robots"):
         CrawlConfig(robots_ttl_waves=4)
+
+
+def test_ttl_compaction_bounds_cache_growth(spark, wh_root):
+    """VERDICT r3 item 4: with robots_ttl_waves set the cache is
+    append-only between compactions; on the compact_every_waves cadence
+    it is rewritten latest-wins, so final row count is bounded by the
+    host set (+ at most one refetch per host since the last
+    compaction), NOT by refetch events — and the crawl itself is
+    unchanged (engine ≡ oracle)."""
+    cfg = CrawlConfig(
+        per_domain_delay_ms=100, wave_ms=300, seed_url_seen=True,
+        max_waves=14, bloom_shards=16, skew_salt_buckets=4,
+        fetch_robots=True, robots_ttl_waves=3, compact_every_waves=2,
+    )
+    pages_pd, docs_pd = synth.multihost_fixture(
+        n_hosts=10, pages_per_host=6, mega_host_pages=40
+    )
+    pages, docs = synth.pages_df(spark, pages_pd), synth.documents_df(spark, docs_pd)
+    seeds = ["http://h000.com/p/0", "http://mega.com/p/0"]
+    c = Crawl(spark, wh_root, cfg)
+    c.init(seeds, pages, docs)
+    c.run()
+    orc = Oracle(pages_pd, docs_pd, cfg)
+    o = orc.run(seeds)
+    _assert_equivalent(spark, c, o)
+    cache = c._read("robots_cache")
+    n_hosts = cache.select("host").distinct().count()
+    # ttl(3) > compaction cadence(2) ⇒ ≤1 refetch row per host can
+    # accumulate on top of the compacted row before the next rewrite
+    assert cache.count() <= 2 * n_hosts, (cache.count(), n_hosts)
+    per_host = {
+        r["host"]: r["n"]
+        for r in cache.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(per_host.values()) <= 2, per_host
+    # freshest row per host survives compaction exactly
+    last_fw = {
+        r["host"]: r["fw"]
+        for r in cache.groupBy("host").agg(F.max("fetched_wave").alias("fw")).collect()
+    }
+    assert last_fw == dict(orc.robots_fw)
