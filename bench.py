@@ -137,6 +137,16 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1, knobs: bool = False) ->
             else {}
         ),
     )
+    # A/B diagnosis hook: BENCH_KNOBS_DISABLE="quota,indegree,robots,
+    # sitemaps" drops individual knobs from the knobs-on wave to
+    # attribute scaling-efficiency deltas to a specific stage
+    disabled = set(
+        filter(None, os.environ.get("BENCH_KNOBS_DISABLE", "").split(","))
+    )
+    if knobs and "quota" in disabled:
+        cfg.max_urls_per_tpd = None
+    if knobs and "indegree" in disabled:
+        cfg.link_priority = "none"
     # host count scales with input so the wave's scheduled set (hosts ×
     # budget) grows with n_urls — otherwise the metric saturates at the
     # politeness cap instead of measuring throughput
@@ -211,20 +221,37 @@ def run_frontier_wave(spark, n_urls: int, reps: int = 1, knobs: bool = False) ->
         )
         new = admitted
         if cfg.max_urls_per_tpd is not None:
+            # loop.run_wave's guarded admission budget, mirrored: only
+            # tpds that can exceed the cap pay the sort+window; the
+            # rest anti-join the tiny binding set (see loop.py)
             from pyspark.sql.window import Window
 
+            cap = int(cfg.max_urls_per_tpd)
+            binding = (
+                new.groupBy("tpd")
+                .agg(F.count("*").alias("_wave_cnt"))
+                .join(quota, on="tpd", how="left")
+                .where(
+                    F.col("_wave_cnt") + F.coalesce(F.col("admitted"), F.lit(0))
+                    > F.lit(cap)
+                )
+                .select(
+                    "tpd",
+                    F.coalesce(F.col("admitted"), F.lit(0)).alias("_already"),
+                )
+            )
             w_adm = Window.partitionBy("tpd").orderBy(
                 "fetch_ms", "source_url", "src_seq", "link_pos"
             )
-            new = (
-                new.join(quota, on="tpd", how="left")
+            risky = (
+                new.join(binding, on="tpd")
                 .withColumn("_adm_rn", F.row_number().over(w_adm))
-                .where(
-                    F.col("_adm_rn") + F.coalesce(F.col("admitted"), F.lit(0))
-                    <= F.lit(int(cfg.max_urls_per_tpd))
-                )
-                .drop("_adm_rn", "admitted")
+                .where(F.col("_adm_rn") + F.col("_already") <= F.lit(cap))
+                .drop("_adm_rn", "_already")
             )
+            new = new.join(
+                binding.select("tpd"), on="tpd", how="left_anti"
+            ).unionByName(risky)
         n_new = new.count()
         sec = _now() - t0
         cpu = _cpu_delta(c0, _cpu_sample())

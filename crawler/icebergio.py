@@ -1057,7 +1057,16 @@ class IcebergTable:
         ]
         entries = []
         key_col = None
-        for e in self._live_entries(staged) + delta:
+        merged = self._live_entries(staged) + delta
+        parts = [bool(e["data_file"]["partition"]) for e in merged]
+        if any(parts) and not all(parts):
+            # one manifest has ONE partition schema; the engine only
+            # rebases the (unpartitioned) frontier_adds table, so mixed
+            # layouts indicate a caller bug, not a supported shape
+            raise ValueError(
+                f"{self.name}: rebase across mixed partition layouts"
+            )
+        for e in merged:
             d = e["data_file"]
             part = d["partition"]
             if part:

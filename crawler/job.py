@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--wave-ms", type=int, default=100)
     p.add_argument("--fetch-robots", action="store_true")
     p.add_argument("--bloom-shards", type=int, default=64)
+    p.add_argument("--table-format", choices=["native", "iceberg"],
+                   default="native",
+                   help="state-table backend: warehouse JSON manifests "
+                        "or real Iceberg v2 metadata (crawler.icebergio)")
     args = p.parse_args(argv)
 
     if args.make_zip:
@@ -69,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         max_fetched=args.max_fetched,
         fetch_robots=args.fetch_robots,
         bloom_shards=args.bloom_shards,
+        table_format=args.table_format,
     )
     c = Crawl(spark, args.warehouse, cfg)
     if not c.wh.catalog.exists():

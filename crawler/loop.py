@@ -400,19 +400,45 @@ class Crawl:
 
             quota = self._read("tpd_quota")
             pre_quota_links = new_links  # persisted by dedup_candidates
+            cap = int(cfg.max_urls_per_tpd)
+            # Rank ONLY the tpds that can actually exceed their budget.
+            # A full row_number window over every admission is a
+            # sort-heavy exchange of the whole wave (measured: it alone
+            # pulled the knobs-on scaling gate from ~0.84 to 0.79);
+            # but a tpd with wave_count + already_admitted <= cap
+            # admits everything regardless of rank.  One map-side-
+            # combined count per tpd finds the (near-cap, usually tiny)
+            # binding set; only those tpds' rows pay the sort+window,
+            # the rest pass through on an anti-join against the tiny
+            # set (AQE broadcasts it — no forced broadcast).  The
+            # admitted SET is identical to the full-window plan.
+            binding = (
+                new_links.groupBy("tpd")
+                .agg(F.count("*").alias("_wave_cnt"))
+                .join(quota, on="tpd", how="left")
+                .where(
+                    F.col("_wave_cnt")
+                    + F.coalesce(F.col("admitted"), F.lit(0))
+                    > F.lit(cap)
+                )
+                .select(
+                    "tpd",
+                    F.coalesce(F.col("admitted"), F.lit(0)).alias("_already"),
+                )
+            )
             w_adm = Window.partitionBy("tpd").orderBy(
                 "fetch_ms", "source_url", "src_seq", "link_pos"
             )
-            new_links = (
-                new_links.join(quota, on="tpd", how="left")
+            risky = (
+                new_links.join(binding, on="tpd")
                 .withColumn("_adm_rn", F.row_number().over(w_adm))
-                .where(
-                    F.col("_adm_rn") + F.coalesce(F.col("admitted"), F.lit(0))
-                    <= F.lit(int(cfg.max_urls_per_tpd))
-                )
-                .drop("_adm_rn", "admitted")
-                .persist()
+                .where(F.col("_adm_rn") + F.col("_already") <= F.lit(cap))
+                .drop("_adm_rn", "_already")
             )
+            safe = new_links.join(
+                binding.select("tpd"), on="tpd", how="left_anti"
+            )
+            new_links = safe.unionByName(risky).persist()
         m.emitted = new_links.count()
 
         # ---- stage all table versions against COMMITTED bases
