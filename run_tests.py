@@ -89,6 +89,11 @@ def main() -> int:
         # that sizes itself from SPARK_GRAFT_CPUS so N shards don't
         # oversubscribe the host
         env.setdefault("SPARK_GRAFT_CPUS", "4")
+        # more execution-pool headroom than the solo default: shard
+        # JVMs spill more under host contention, and one 4g shard hit
+        # UNABLE_TO_ACQUIRE_MEMORY in a hash-agg (host RAM is 128 GiB;
+        # N×8g is cheap insurance)
+        env.setdefault("CRAWLER_TEST_DRIVER_MEM", "8g")
         print(f"shard {i}: {' '.join(files)} -> {log}")
         procs.append(
             (i, files, log, subprocess.Popen(cmd, cwd=REPO, env=env,
