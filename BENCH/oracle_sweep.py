@@ -59,6 +59,21 @@ def main() -> int:
     from crawler.session import get_spark
 
     spark = get_spark("oracle-sweep", master="local[16]")
+    fails, total = sweep(spark, sf_dir, only=only)
+    spark.stop()
+    return 1 if fails else 0
+
+
+def sweep(spark, sf_dir: str, only=None) -> tuple[list[str], int]:
+    """Run every queries()/oracle_sql() pair on `spark` vs DuckDB over
+    `sf_dir`; returns (failed query names, compared count).  Reused by
+    tests/test_oracle_sweep_gate.py as the suite's local oracle gate
+    (ADVICE r4: the 6 rotated-out queries must not be invisible to
+    verification between driver rounds)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -91,8 +106,7 @@ def main() -> int:
             fails.append(name)
     total = len([n for n in qs if n in osql and (only is None or n in only)])
     print(f"FAILS: {fails if fails else f'none — {total}/{total}'}")
-    spark.stop()
-    return 1 if fails else 0
+    return fails, total
 
 
 if __name__ == "__main__":

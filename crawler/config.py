@@ -214,8 +214,8 @@ class CrawlConfig:
     #: crawler.icebergio.IcebergTable (REAL Iceberg v2 metadata —
     #: metadata.json + Avro manifests, identity-partitioned keyed
     #: snapshots).  Same version-int API either way; the crawl loop is
-    #: backend-agnostic and e2e-tested on both.  Note: snapshot expiry
-    #: (expire_every_waves) currently compacts only native tables.
+    #: backend-agnostic and e2e-tested on both, and snapshot expiry
+    #: (expire_every_waves) compacts both backends.
     table_format: str = "native"
 
     def delay_for(self, tpd: str) -> int:

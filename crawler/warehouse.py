@@ -533,13 +533,32 @@ class Warehouse:
 
         Runs under the catalog lock so the committed pointer and the
         staged-version set cannot move mid-scan.  Returns, per table,
-        {"manifests_dropped": n, "files_deleted": n}."""
+        {"manifests_dropped": n, "files_deleted": n}.
+
+        Dispatches by on-disk layout: a ``_meta/`` directory is a native
+        JSON-manifest table (handled inline below); a ``metadata/``
+        directory is an Iceberg-backend table, delegated to
+        ``IcebergTable.expire`` (same keep/drop rule, prunes snapshots
+        from the kept metadata.json files and deletes unreferenced
+        manifest-list/manifest avros + data files)."""
         report: dict[str, dict[str, int]] = {}
         with self.catalog.lock():
             committed = self.catalog.state()["tables"]
             for name in sorted(os.listdir(self.root)):
                 meta_dir = os.path.join(self.root, name, "_meta")
                 if not os.path.isdir(meta_dir):
+                    ice_meta = os.path.join(self.root, name, "metadata")
+                    if os.path.isdir(ice_meta):
+                        t = self._tables.get(name)
+                        if t is None:
+                            from .icebergio import IcebergTable
+
+                            t = IcebergTable(self.root, name, T.StructType())
+                        rep = t.expire(
+                            committed.get(name, 0), keep_last=keep_last
+                        )
+                        if rep["manifests_dropped"] or rep["files_deleted"]:
+                            report[name] = rep
                     continue
                 versions = sorted(
                     int(m[1:9])

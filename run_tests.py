@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 #: measured minutes (rounded) from full-suite runs; the balancer packs
 #: greedily by descending weight.
 WEIGHTS = {
-    "test_e2e_crawl.py": 25,
+    "test_e2e_crawl.py": 30,
     "test_resume.py": 14,
     "test_fetch_http.py": 11,
     "test_robots_ttl.py": 9,
@@ -54,7 +54,8 @@ WEIGHTS = {
     "test_plan_guards.py": 2,
     "test_sketches.py": 2,
     "test_dedup.py": 2,
-    "test_iceberg_format.py": 1,
+    "test_iceberg_format.py": 10,
+    "test_oracle_sweep_gate.py": 4,
     "test_fetch_decode.py": 1,
     "test_extract.py": 1,
     "test_hashing.py": 1,
