@@ -93,15 +93,38 @@ def _ck_fp_and_buckets(h2: np.ndarray, n_buckets: int) -> tuple[np.ndarray, np.n
     return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
 
 
-def cuckoo_add(blob: bytes, h2: np.ndarray, max_kicks: int = 500) -> tuple[bytes, int]:
+def cuckoo_add(
+    blob: bytes, h2: np.ndarray, max_kicks: int = 500, max_load: float = 0.95
+) -> tuple[bytes, int]:
     """Insert fingerprints; returns (new blob, n_failed). Row-wise loop —
     the cuckoo tier holds the *deletable minority* (tombstones), orders of
-    magnitude smaller than the bloom-side volume."""
+    magnitude smaller than the bloom-side volume.
+
+    Saturation guard (r5): a recrawl-heavy wave can tombstone far more
+    keys than the table holds (a full-corpus TTL expiry presents
+    n_urls/shard inserts to a slots_per_shard table).  Past ``max_load``
+    occupancy, eviction kicks are futile — every insert walks
+    ``max_kicks`` displacement hops and still fails, which measured
+    MINUTES per shard at 200k inserts into 65k slots.  Tombstones are
+    advisory (bloom_probe never lets the cuckoo verdict bypass the
+    exact backstop — ADVICE r3), so once occupancy crosses the
+    threshold the remaining inserts fail fast in one vectorized batch:
+    same semantics an individually-failing insert has, without the
+    eviction burn."""
     arr, nb = _ck_parts(blob)
     fps, i1s, i2s = _ck_fp_and_buckets(h2, nb)
     rng = np.random.RandomState(42)  # deterministic kick choice
+    occ = int(np.count_nonzero(arr))
+    limit = int(arr.size * max_load)
     failed = 0
-    for fp, i1, i2 in zip(fps, i1s, i2s):
+    for idx, (fp, i1, i2) in enumerate(zip(fps, i1s, i2s)):
+        if occ >= limit:
+            rest_fp, rest_i1, rest_i2 = fps[idx:], i1s[idx:], i2s[idx:]
+            present = (arr[rest_i1] == rest_fp[:, None]).any(axis=1) | (
+                arr[rest_i2] == rest_fp[:, None]
+            ).any(axis=1)
+            failed += int((~present).sum())
+            break
         if fp in arr[i1] or fp in arr[i2]:
             continue  # already present (set semantics)
         placed = False
@@ -112,6 +135,7 @@ def cuckoo_add(blob: bytes, h2: np.ndarray, max_kicks: int = 500) -> tuple[bytes
                 placed = True
                 break
         if placed:
+            occ += 1
             continue
         cur_fp, cur_b = fp, i1
         for _ in range(max_kicks):
@@ -124,20 +148,31 @@ def cuckoo_add(blob: bytes, h2: np.ndarray, max_kicks: int = 500) -> tuple[bytes
                 placed = True
                 break
             cur_b = alt
-        if not placed:
+        if placed:
+            occ += 1
+        else:
             failed += 1
     return arr.tobytes(), failed
 
 
 def cuckoo_delete(blob: bytes, h2: np.ndarray) -> bytes:
+    """Zero every slot in either candidate bucket holding the key's
+    fingerprint — vectorized (r5: this runs in update_bloom's per-wave
+    re-add path over EVERY new key, where a row-wise loop cost ~1s per
+    200k-key shard).  Insertion has set semantics (at most one stored
+    copy per (fp, bucket-pair)), so zeroing all matches equals the
+    row-wise first-match delete; in the rare eviction-built state where
+    a colliding fp holds two slots, deleting both is the advisory
+    tier's safe direction (a cleared tombstone never bypasses the
+    backstop)."""
+    if len(h2) == 0:
+        return blob
     arr, nb = _ck_parts(blob)
     fps, i1s, i2s = _ck_fp_and_buckets(h2, nb)
-    for fp, i1, i2 in zip(fps, i1s, i2s):
-        for b in (i1, i2):
-            hit = np.where(arr[b] == fp)[0]
-            if len(hit):
-                arr[b, hit[0]] = 0
-                break
+    for idx in (i1s, i2s):
+        r, c = np.nonzero(arr[idx] == fps[:, None])
+        if len(r):
+            arr[idx[r], c] = 0
     return arr.tobytes()
 
 

@@ -78,3 +78,33 @@ def test_cuckoo_idempotent_add():
     blob, _ = B.cuckoo_add(blob, keys)
     arr = np.frombuffer(blob, dtype=np.uint16)
     assert (arr != 0).sum() == 2  # set semantics, no double insert
+
+
+def test_cuckoo_saturation_guard_fails_fast():
+    """r5: a recrawl-heavy wave can tombstone more keys than the table
+    holds; past max_load the remaining inserts must fail in bulk (one
+    vectorized batch) instead of each burning max_kicks evictions —
+    measured minutes-per-shard before the guard.  Semantics: advisory
+    failures only, occupancy capped, present keys still detected."""
+    import time
+
+    blob = B.new_cuckoo(65536)
+    rng = np.random.RandomState(1)
+    keys = rng.randint(-(2**62), 2**62, size=200_000).astype(np.int64)
+    t0 = time.monotonic()
+    out, failed = B.cuckoo_add(blob, keys)
+    took = time.monotonic() - t0
+    arr = np.frombuffer(out, dtype=np.uint16)
+    occ = int((arr != 0).sum())
+    # table filled to the load cap, the rest failed (advisory), and the
+    # whole batch completed without eviction burn (generous wall bound:
+    # pre-guard this took >120s)
+    assert occ <= int(65536 * 0.95) + 1
+    assert occ + failed >= 199_000  # inserted or counted failed (minus fp dups)
+    assert took < 30.0
+    # keys that DID land are still queryable
+    landed = B.cuckoo_contains(out, keys)
+    assert int(landed.sum()) >= occ
+    # and a successful delete still clears them
+    out2 = B.cuckoo_delete(out, keys)
+    assert not B.cuckoo_contains(out2, keys).any()
