@@ -636,10 +636,10 @@ class IcebergTable:
                     ),
                 )
             )
-            # bounded broadcast: one metadata row per data file
-            dfs.append(
-                scan.join(F.broadcast(mapping), "__file_path").select(cols)
-            )
+            # no hint (engine-wide plan-guard rule): the mapping is a
+            # LocalRelation of one metadata row per data file, so
+            # Catalyst's size estimate picks the broadcast join itself
+            dfs.append(scan.join(mapping, "__file_path").select(cols))
         if not dfs:
             return spark.createDataFrame([], self.schema)
         out = dfs[0]
