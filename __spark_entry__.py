@@ -373,32 +373,53 @@ def _lsh_candidate_pairs(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         *[mh(i) for i in range(_LSH_HASHES)],
     )
+    # each bucket row carries the doc's FULL band-key array: a pair
+    # colliding in several bands is then rejected inline at every band
+    # but its lowest (same first-colliding-chunk-wins trick as
+    # simhash_dups), so the join emits each candidate pair EXACTLY ONCE
+    # and the 11M-row pre-distinct stream + its exchange disappear
+    # (guide §2.4 "remove shuffles outright"); downstream consumers
+    # also inherit pairs that are distinct BY CONSTRUCTION (a < b, one
+    # row per pair), which lets dedup_clusters skip its canonicalize
+    # exchange.  Band keys are folded to fixed-width xxhash64 longs
+    # (guide §2.3 narrower types): the hot self-join's build rows and
+    # its ~11M emitted rows carry 4×8 B instead of 4×131 B of md5
+    # strings — an order of magnitude less transient allocation on the
+    # quadratic emit path.  A band-hash collision merely admits a
+    # spurious candidate into the exact-Jaccard verify (or dedups a
+    # pair against a non-identical band) at p ≈ 2^-64 per comparison —
+    # the same negligible-collision budget the 60-bit shingle hashes
+    # already document.
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
     buckets = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        F.explode(F.array(*[F.lit(b) for b in range(_LSH_BANDS)])).alias("band"),
+        band_keys.alias("bands"),
+    ).withColumn("bucket", F.col("bands")[F.col("band")])
     from crawler.textops import spread
 
     # probe side spread across tasks: the build side broadcasts, so
     # without this the hot buckets' quadratic emit runs in ~one task
     a, b = spread(buckets, "doc_id").alias("a"), buckets.alias("b")
+    first_band = F.lit(True)
+    for c in range(_LSH_BANDS - 1):
+        first_band = first_band & (
+            (F.col("band") <= F.lit(c))
+            | (F.col("a.bands")[c] != F.col("b.bands")[c])
+        )
     return (
         a.join(b, on=["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & first_band)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -758,7 +779,12 @@ def _q_dedup_clusters(spark, sf):
     from crawler import graph
 
     pairs = _q_ngram_jaccard_dups(spark, sf).select("doc_a", "doc_b")
-    comp = graph.connected_components(pairs, a="doc_a", b="doc_b")
+    # the LSH pair stream is (doc_a < doc_b), one row per pair BY
+    # CONSTRUCTION (first-band-wins join) — skip the canonicalize
+    # distinct, which at sf0.1 re-exchanged all 5.9M pairs
+    comp = graph.connected_components(
+        pairs, a="doc_a", b="doc_b", assume_canonical=True
+    )
     sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "rep").select(
         F.col("node").alias("doc_id"), "rep", "cluster_size"

@@ -254,6 +254,7 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 30,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
 
@@ -274,7 +275,22 @@ def connected_components(
     # round, so the analyzer's tree multiplies ~6x/round and the driver
     # OOMs building plans long before any executor sees data.
     # localCheckpoint cuts the lineage to a materialized RDD scan.
-    e = _canon(pairs, a, b).localCheckpoint()
+    #
+    # The INPUT edge set only needs persist(), not localCheckpoint():
+    # its lineage is one plan deep (no per-round multiplication yet) and
+    # persist serves every round-0 reference from cache — checkpointing
+    # 5.9M input pairs cost ~6 s more than persisting them at sf0.1.
+    # assume_canonical=True lets a caller whose pairs are already
+    # (a < b, distinct, no self-loops) BY CONSTRUCTION — e.g. the
+    # first-band-wins LSH pair stream — skip the _canon distinct, which
+    # at sf0.1 is a full exchange of the 5.9M-row pair set
+    # (guide §2.4: a distinct on data that is already unique).
+    src = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        if assume_canonical
+        else _canon(pairs, a, b)
+    )
+    e = src.persist()
     n_e = e.count()
     for _ in range(max_iter):
         # large-star: per node u, m = min(N(u) + {u}); connect every
@@ -306,6 +322,12 @@ def connected_components(
         # one-way difference <=> set equality (bounded probe, no collect)
         converged = n_small == n_e and small.subtract(e).isEmpty()
         large.unpersist()
+        # free the superseded edge set eagerly — `small` is already an
+        # eager localCheckpoint, so nothing re-reads the old blocks;
+        # without this every round's multi-million-row edge snapshot
+        # stays in the block manager until the context cleaner's next
+        # sweep (guide §5: unpersist when done)
+        e.unpersist()
         e, n_e = small, n_small
         if converged:
             break

