@@ -30,8 +30,35 @@ EN_SW = (
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_SW) + "]"
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a bench table; ``spread=True`` adds an ADAPTIVE post-scan
+    repartition (guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read"): a single-file table scans
+    as ONE partition (a single parquet row group ignores
+    maxPartitionBytes/minPartitionNum splitting), so every expression
+    FUSED onto the scan — md5 shingling, minhash signatures, shingle
+    tokenizers — runs on one core while the other 31 idle; measured
+    2.6 s → 1.3 s for substring_dedup and 4.0 s → 2.1 s for
+    ngram_jaccard_dups at sf0.1.  The repartition is decided from the
+    scan's ACTUAL partition count, so a production table with >= cores
+    splits is untouched and no exchange appears at scale; column
+    pruning and predicate pushdown pass through a Repartition node, so
+    the exchange carries only the pruned columns.
+
+    It is OPT-IN per query because it is a measured LOSS for everything
+    that is not scan-compute-bound: a full A/B over the 56-query
+    battery showed light queries pay +0.2-0.9 s each for the extra
+    exchange and 32-task scheduling (e.g. shipping_priority 0.63 →
+    1.48 s, sessionize 0.50 → 1.04 s) while only the md5/shingle-heavy
+    doc-scan queries win."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ------------------------------------------------------------------ entry
@@ -77,7 +104,7 @@ def _q_status_filter(spark, sf):
 def _q_word_count_top25(spark, sf):
     """P10+A1: the example-app word count with final top-25
     (example-app/Main.scala:40-52,74-78)."""
-    docs = _read(spark, sf, "documents")
+    docs = _read(spark, sf, "documents", spread=True)
     return (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .where(F.col("word") != "")
@@ -290,17 +317,23 @@ def _q_simhash_dups(spark, sf):
     can reproduce exactly."""
     from crawler.textops import simhash64_expr
 
-    docs = _read(spark, sf, "documents")
+    docs = _read(spark, sf, "documents", spread=True)
     # ONE sim column per doc (a single ArrowEvalPython evaluation);
     # chunks and hamming derive from it JVM-side — splitting into hi/lo
     # first would evaluate the bit-vote UDF twice per side
     # simhash64_expr is provably non-null (coalesce inside), so the
     # join's isnotnull(chunk) pushdown folds away instead of re-deriving
     # the UDF in a Filter — one bit-vote evaluation per side
+    # persist(): the self-join references this subtree from BOTH sides
+    # (spread probe + broadcast build), and Catalyst does not dedupe
+    # shared subplans — without the cache the md5 token hashing and the
+    # Python bit-vote hop run twice over the corpus (guide §4: the
+    # JVM↔Python boundary is the expensive part of this query; the
+    # cached table is 2 longs/doc)
     h = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         simhash64_expr("text").alias("sim"),
-    )
+    ).persist()
     # explode plain chunk ids FIRST (the Generate node is a projection-
     # collapse barrier), then derive the chunk value from the already-
     # computed sim column — otherwise collapse inlines sim's UDF into
@@ -360,7 +393,7 @@ def _lsh_candidate_pairs(spark, sf):
     same bucket → pair.  The self-join is keyed on (band, bucket) —
     never an all-pairs cross join; this IS the scale path."""
     rows = _LSH_HASHES // _LSH_BANDS
-    docs = _read(spark, sf, "documents")
+    docs = _read(spark, sf, "documents", spread=True)
     toks = F.array_distinct(F.split(F.lower("text"), " "))
 
     def mh(i: int):
@@ -428,7 +461,7 @@ def _q_ngram_jaccard_dups(spark, sf):
     minhash-band blocking → exact Jaccard only on colliding pairs —
     the full corpus is never n²-joined)."""
     pairs = _lsh_candidate_pairs(spark, sf)
-    docs = _read(spark, sf, "documents")
+    docs = _read(spark, sf, "documents", spread=True)
     # set SIZE projected once per doc; per pair only ONE set traversal
     # (intersect) remains — |a ∪ b| = |a| + |b| - |a ∩ b|, exactly the
     # formula the DuckDB oracle uses (array ops are interpreted, so a
@@ -725,11 +758,19 @@ def _q_gopher_repetition(spark, sf):
 # ------------- link-graph analytics (crawler/graph.py) -------------
 
 
-def _graph_edges(spark, sf):
+def _graph_edges(spark, sf, with_nodes: bool = False):
     from crawler import graph
 
     docs = _read(spark, sf, "documents")
-    return graph.synth_edges(docs, docs.count())
+    n = docs.count()
+    edges = graph.synth_edges(docs, n)
+    if with_nodes:
+        # every doc_id IS a src in the synthesized graph (each doc
+        # emits >= 2 out-edges), so the node set == the doc_id column —
+        # callers can skip re-deriving it from the edge list
+        nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+        return edges, nodes, n
+    return edges
 
 
 def _q_link_stats(spark, sf):
@@ -755,8 +796,9 @@ def _q_pagerank(spark, sf):
     synthesized graph gives every node out-links)."""
     from crawler import graph
 
-    pr = graph.pagerank(_graph_edges(spark, sf), n_iter=5, damping=0.85,
-                        iter_dp=9)
+    edges, nodes, n = _graph_edges(spark, sf, with_nodes=True)
+    pr = graph.pagerank(edges, n_iter=5, damping=0.85, iter_dp=9,
+                        n_nodes=n, nodes=nodes)
     return (
         pr.select(
             F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
@@ -813,7 +855,7 @@ def _q_decontaminate(spark, sf):
     side streams map-side.  See crawler/textops.contamination."""
     from crawler.textops import contamination
 
-    docs = _read(spark, sf, "documents")
+    docs = _read(spark, sf, "documents", spread=True)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return contamination(train, bench, shingle_n=3)
@@ -994,7 +1036,7 @@ def _q_substring_dedup(spark, sf):
     See crawler/textops.exact_substring_dedup (plan notes there)."""
     from crawler.textops import exact_substring_dedup
 
-    return exact_substring_dedup(_read(spark, sf, "documents"), n=5)
+    return exact_substring_dedup(_read(spark, sf, "documents", spread=True), n=5)
 
 
 def _q_anchor_stats(spark, sf):

@@ -146,6 +146,7 @@ def pagerank(
     iter_dp: int = 9,
     checkpoint_every: int = 0,
     n_nodes: int | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
@@ -155,14 +156,23 @@ def pagerank(
     every k rounds to truncate lineage on long runs.  Nodes without
     in-links get the teleport term only; nodes without out-links leak
     mass (documented variant).
+
+    ``nodes`` lets a caller that already KNOWS the node set (e.g. the
+    synthesized bench graph, where every doc_id is a src) pass it as a
+    (node) DataFrame and skip the union+distinct+persist+count
+    derivation — at sf0.1 that derivation was 2 extra jobs and ~1.5 s
+    of exchanges over the edge list for a set the caller had for free
+    (guide §2.4: a distinct on data that is already unique).
     """
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()  # re-joined every iteration; without this the node
-        # derivation (2 aggs over the edge scan) re-executes per round
-    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()  # re-joined every iteration; without this the
+            # node derivation (2 aggs over the edge scan) re-executes
+            # per round
+        )
     if n_nodes is None:
         n_nodes = nodes.count()
     odeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))

@@ -1460,7 +1460,7 @@ def kmeans_spherical(
     ]
     for _ in range(n_iter):
         assigned = emb.crossJoin(
-            F.broadcast(_cents_matrix_df(spark, cents))
+            _cents_matrix_df(spark, cents)
         ).withColumn("cluster", _kmeans_argmax_col(F.col("cs")).getField("cluster"))
         rows = (
             assigned.groupBy("cluster")
@@ -1473,7 +1473,7 @@ def kmeans_spherical(
         }
         cents = {c: new.get(c, cents[c]) for c in cents}
     final = _kmeans_argmax_col(F.col("cs"))
-    out = emb.crossJoin(F.broadcast(_cents_matrix_df(spark, cents))).select(
+    out = emb.crossJoin(_cents_matrix_df(spark, cents)).select(
         "vec_id",
         final.getField("cluster").alias("cluster"),
         final.getField("cos").alias("cos"),
