@@ -305,9 +305,21 @@ def connected_components(
     for _ in range(max_iter):
         # large-star: per node u, m = min(N(u) + {u}); connect every
         # STRICTLY LARGER neighbor to m
-        sym = e.select("a", "b").union(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        # both edge directions come from ONE inline explode, not a
+        # union of two selects: the union form scans the (cached) edge
+        # set twice per reference and `sym` is referenced twice per
+        # round — four multi-million-row cache scans at sf0.1 where two
+        # suffice (guide §2.4)
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
         mins = (
             sym.groupBy("a")
             .agg(F.min("b").alias("mn"))
@@ -317,7 +329,17 @@ def connected_components(
             sym.join(mins, "a")
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("x"), F.col("m").alias("y")),
-        ).persist()
+        )
+        # persist pays off only while the edge set is big: `large` is
+        # referenced 3× below, but once the stars have collapsed the
+        # graph (n_e small), three recomputes of a tiny in-memory
+        # lineage cost less than a cache materialization round-trip —
+        # the threshold is a recompute-vs-materialize tradeoff on the
+        # CURRENT round's measured edge count, not a cluster-size
+        # constant
+        big_round = n_e > 250_000
+        if big_round:
+            large = large.persist()
         # small-star: edges already point larger -> smaller in canonical
         # form (b > a); per node u = b, m = min of its smaller
         # neighborhood; connect u AND each smaller neighbor to m
@@ -331,7 +353,8 @@ def connected_components(
         # both sides are DISTINCT canonical sets: equal count + empty
         # one-way difference <=> set equality (bounded probe, no collect)
         converged = n_small == n_e and small.subtract(e).isEmpty()
-        large.unpersist()
+        if big_round:
+            large.unpersist()
         # free the superseded edge set eagerly — `small` is already an
         # eager localCheckpoint, so nothing re-reads the old blocks;
         # without this every round's multi-million-row edge snapshot

@@ -21,6 +21,27 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    # glibc malloc tuning for the JVM + Python workers (children of
+    # this process inherit the env; setdefault keeps every knob
+    # overridable).  Root cause, measured on this host: the
+    # applyInPandas bloom-probe stage ran at 47-90% SYSTEM time across
+    # 32 cores — glibc hands every >=128 KB buffer (pandas/numpy/Arrow
+    # batches) straight to mmap, and each free munmaps it, so 32
+    # workers generate a continuous mmap/munmap stream whose TLB
+    # shootdowns and page-table churn burn the machine in kernel mode
+    # (the round-2..5 'kernel-time inflation degraded mode' in
+    # BENCH/BASELINE.md).  Raising the mmap/trim thresholds keeps those
+    # buffers on the arena heap (reused, no syscall per batch):
+    # measured 8.3 s/47% sys -> 3.1 s/6% sys on the 6.4M-row probe.
+    # Memory cost: arenas hold peak-RSS instead of returning pages
+    # eagerly — bounded by workers × peak batch footprint (~100 MB
+    # each here); size the thresholds down on memory-tight executors.
+    for k, v in (
+        ("MALLOC_ARENA_MAX", "4"),
+        ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+        ("MALLOC_TRIM_THRESHOLD_", "1073741824"),
+    ):
+        os.environ.setdefault(k, v)
     # shuffle partitions = 4× cores: at 1 task/core a single stalled
     # task (GC pause, hypervisor preemption of one vCPU) stalls the
     # whole stage; 4 waves of tasks smooth stragglers.  Measured on this
@@ -68,4 +89,20 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Pre-spawn the Python worker pool (one trivial mapInPandas pass,
+    # ~5 s once): 32 simultaneous CPython spawns each importing
+    # pandas/numpy are a measured kernel-time storm (fork + COW faults
+    # + import I/O at 60%+ system time) that otherwise lands inside
+    # whatever Arrow-stage job runs first — the session owns its
+    # warm-up, the first real query shouldn't (guide §4.5: heavyweight
+    # init once, before the work).  Workers are reused afterwards
+    # (spark.python.worker.reuse default).  CRAWLER_PREWARM_WORKERS=0
+    # opts out (e.g. single-query scripts that never touch Python).
+    if os.environ.get("CRAWLER_PREWARM_WORKERS", "1") != "0":
+        n = max(2, cpus)
+
+        def _ident(batches):
+            yield from batches
+
+        spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
     return spark
