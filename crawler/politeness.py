@@ -98,7 +98,15 @@ def _topk_salted(df: DataFrame, k_col: str, cfg: CrawlConfig) -> DataFrame:
     in the true per-TPD top-K is in its bucket's top-K, so the union
     (≤ K·S rows per TPD) is a superset of the exact top-K.  The exact
     rank stage then runs over this bounded set, so a mega-host's
-    millions of pending rows never sort in one partition."""
+    millions of pending rows never sort in one partition.
+
+    (A binding-set gate that routes only over-K TPDs into the window —
+    the loop's admission-budget pattern — was tried in r6 and REVERTED:
+    the gate's count pass plus the safe/risky split reference the
+    un-cached upstream three times, and re-executing the 8M-row
+    pending pipeline twice more cost ~10 s against the ~3 s the
+    smaller stage-1 sort saved.  Worth revisiting only with a caller-
+    owned cache of the eligible set.)"""
     salt = F.pmod(F.col("seq"), F.lit(cfg.skew_salt_buckets))
     w1 = Window.partitionBy(F.col("tpd"), salt).orderBy(*queue_order())
     return (

@@ -304,7 +304,7 @@ def knn_bruteforce(
     """Exact cosine top-k against one query vector.  The query is a
     literal array (broadcast by construction); one scan + one top-k —
     Catalyst executes limit+sort as TakeOrderedAndProject (no full sort)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = dlit_array(query_vec)
     return (
         embeddings.select(
             "vec_id",
@@ -319,6 +319,20 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes shared by the Spark ANN path and
     the DuckDB oracle (same seed → same float64 literals both sides)."""
     return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def dlit_array(xs) -> F.Column:
+    """array<double> literal via ONE SQL-parser call instead of len(xs)
+    py4j Literal constructions.  repr() emits the shortest string that
+    round-trips the exact IEEE double and Java's Double.parseDouble
+    parses it back to the same bits; the D suffix keeps the parser in
+    DoubleType (a bare decimal literal would land in DecimalType).  The
+    per-element F.lit form cost ~0.3-0.5 s of driver py4j chatter per
+    query for the 768-literal hyperplane matrices (guide §1.2
+    'per-task work' — here the task is the driver building the plan)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+    )
 
 
 def knn_lsh_bucketed(
@@ -345,7 +359,7 @@ def knn_lsh_bucketed(
                 F.aggregate(
                     F.zip_with(
                         vec_col,
-                        F.array(*[F.lit(float(w)) for w in planes[p]]),
+                        dlit_array(planes[p]),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),
@@ -360,7 +374,7 @@ def knn_lsh_bucketed(
             out = out + (b * F.lit(1 << i))
         return out
 
-    qvec = F.array(*[F.lit(float(x)) for x in query_vec])
+    qvec = dlit_array(query_vec)
     margins = planes @ np.asarray(query_vec, dtype=np.float64)
     qbits = int(sum((1 << i) for i in range(n_planes) if margins[i] > 0))
     flips = np.argsort(np.abs(margins), kind="stable")[: max(0, n_probes - 1)]
@@ -395,7 +409,7 @@ def embedding_neardup_pairs(
         return F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(w)) for w in plane]),
+                dlit_array(plane),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -486,7 +500,7 @@ def knn_ivf(
     cells = sorted(cents)
 
     def cos_to(vec_col, c):
-        return F.round(cosine_expr(vec_col, F.array(*[F.lit(x) for x in c])), 6)
+        return F.round(cosine_expr(vec_col, dlit_array(c)), 6)
 
     # max over struct(cos, -cell) → highest cosine, ties to the lowest cell id
     structs = [
@@ -508,7 +522,7 @@ def knn_ivf(
         :n_probe
     ]
 
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = dlit_array(query_vec)
     return (
         embeddings.withColumn("cell", assigned)
         .where(F.col("cell").isin(qcells))

@@ -23,11 +23,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "BENCH"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.001")
 
+#: ADVICE r5 (medium): this gate is the ONLY verification for the
+#: queries currently rotated out of the driver's first-50 CORRECTNESS
+#: window, so a silent skip on a machine without the testdata would
+#: let the suite report green with those queries unverified.  Missing
+#: testdata is therefore a FAILURE unless the runner explicitly
+#: acknowledges it (SPARK_GRAFT_SWEEP_OPTIONAL=1).
+_OPTIONAL = os.environ.get("SPARK_GRAFT_SWEEP_OPTIONAL") == "1"
+
 
 @pytest.mark.skipif(
-    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+    _OPTIONAL and not os.path.isdir(SF_DIR),
+    reason="driver testdata not present (explicitly waived via "
+    "SPARK_GRAFT_SWEEP_OPTIONAL=1)",
 )
 def test_every_registry_query_matches_its_oracle(spark):
+    assert os.path.isdir(SF_DIR), (
+        f"oracle-sweep testdata missing at {SF_DIR}: this gate is the only "
+        "verification for rotated-out registry queries — point "
+        "SPARK_GRAFT_SWEEP_SF at a generated sf dir, or set "
+        "SPARK_GRAFT_SWEEP_OPTIONAL=1 to explicitly waive the gate"
+    )
     from oracle_sweep import sweep
 
     fails, total = sweep(spark, SF_DIR)
