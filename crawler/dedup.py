@@ -277,6 +277,23 @@ def dedup_candidates(
     intermediate is unpersisted before returning (no storage leak across
     waves).  The caller owns unpersisting the result.
     """
+    # Fast path — empty url_seen (every FIRST wave of a crawl, and the
+    # bench's synthetic wave): the exact backstop is vacuous, survivors
+    # ≡ maybe, so result ≡ the probe output minus its verdict column.
+    # Taking it skips a SECOND full columnar cache build of the 6.4M
+    # wide candidate rows plus the fresh/maybe/union machinery —
+    # measured ~2-4 s per wave at the 8M-URL bench.  The probe (which
+    # performs the within-wave first-wins dedup) still runs in full.
+    # Data-adaptive via a bounded isEmpty probe (limit-1 scan), not a
+    # config: with any seen state at all the split path below runs
+    # unchanged.
+    if url_seen.isEmpty():
+        result = bloom_probe(
+            candidates, bloom_df, cfg, first_wins_order=order_cols,
+            with_indegree=with_indegree,
+        ).drop("maybe_seen").persist()
+        result.count()
+        return result
     # 1+2. within-wave first-wins folded into the cogrouped bloom probe
     # (one shuffle; globally correct — see bloom_probe); persisted so the
     # fresh/maybe split doesn't re-run the probe pipeline
