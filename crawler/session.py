@@ -105,4 +105,18 @@ def get_spark(
             yield from batches
 
         spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
+        # one tiny shuffle+agg+sort warms the exchange/aggregate/sort
+        # codegen and memory-manager init that the session's first real
+        # query otherwise pays (~1 s measured across the first two
+        # battery queries); the job itself is ~0.5 s once
+        from pyspark.sql import functions as _F
+
+        (
+            spark.range(0, 100_000, 1, n)
+            .groupBy((_F.col("id") % 101).alias("k"))
+            .agg(_F.count("*").alias("c"))
+            .orderBy(_F.desc("c"), _F.asc("k"))
+            .limit(5)
+            .collect()
+        )
     return spark
