@@ -325,10 +325,15 @@ def connected_components(
             .agg(F.min("b").alias("mn"))
             .select("a", F.least("mn", F.col("a")).alias("m"))
         )
+        # large-star joins the CANONICAL edge set, not the symmetric
+        # view: with a < b, only the (a→b) direction survives the
+        # "strictly larger neighbor" filter (the flipped (b→a) row has
+        # a < b and is always dropped), so {(b, m(a)) per canonical
+        # edge} IS the large-star output and the join pass reads half
+        # the rows (5.9M vs 11.8M at sf0.1; the symmetric view is still
+        # what the min aggregation needs)
         large = _canon(
-            sym.join(mins, "a")
-            .where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("x"), F.col("m").alias("y")),
+            e.join(mins, "a").select(F.col("b").alias("x"), F.col("m").alias("y")),
         )
         # persist pays off only while the edge set is big: `large` is
         # referenced 3× below, but once the stars have collapsed the
