@@ -288,8 +288,9 @@ def connected_components(
     #
     # The INPUT edge set only needs persist(), not localCheckpoint():
     # its lineage is one plan deep (no per-round multiplication yet) and
-    # persist serves every round-0 reference from cache — checkpointing
-    # 5.9M input pairs cost ~6 s more than persisting them at sf0.1.
+    # persist serves both pre-round references from cache —
+    # checkpointing 5.9M input pairs cost ~6 s more than persisting
+    # them at sf0.1.
     # assume_canonical=True lets a caller whose pairs are already
     # (a < b, distinct, no self-loops) BY CONSTRUCTION — e.g. the
     # first-band-wins LSH pair stream — skip the _canon distinct, which
@@ -300,9 +301,93 @@ def connected_components(
         if assume_canonical
         else _canon(pairs, a, b)
     )
-    e = src.persist()
+    e0 = src.persist()
+    # ---- min-contraction pre-round (hash-to-min, one round) --------
+    # m(u) = min(N(u) ∪ {u}); contract every edge (a, b) to
+    # (m(a), m(b)) and drop the self-loops.  The quotient of a
+    # connected graph over ANY node partition is connected, so the
+    # contracted graph has exactly the input's components, and the
+    # component minimum w survives contraction as itself (every
+    # neighbor of w is larger, so m(w) = w) — star-resolving the
+    # contracted graph and composing through the node→m mapping is
+    # therefore EXACT.  Why this beats running large-star directly on
+    # the input (measured at sf0.1, 5.9M near-dup-clique pairs):
+    #   * the input cache is scanned twice total (min aggregation +
+    #     contraction join) and freed before the star loop — no third
+    #     pass, no up-front count job;
+    #   * `mins` is persisted+counted BEFORE the contraction join, so
+    #     the planner sees its real size (one row per node) and picks
+    #     the join strategy from accurate stats — at sf0.1 that is a
+    #     broadcast join straight off the cache, where the same join
+    #     planned from the aggregate's pessimistic estimate started
+    #     sort-merge and paid a full 5.9M-row exchange write before
+    #     AQE flipped it (guide §3.1);
+    #   * near-dup components are clique-ish, so one contraction
+    #     collapses them to their minimum and the star loop runs on a
+    #     ~1000x smaller edge set (5.9M → ~5k).  Worst case (a long
+    #     path) contracts poorly and merely costs one extra linear
+    #     pass before the unchanged O(log n) star rounds.
+    sym0 = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    mins0 = (
+        sym0.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(F.col("a").alias("node"), F.least("mn", F.col("a")).alias("m"))
+        .persist()
+    )
+    mins0.count()  # materializes e0's cache + mins0; accurate join stats
+    contracted = _canon(
+        e0.join(mins0.select(F.col("node").alias("a"), F.col("m").alias("ma")), "a")
+        .join(mins0.select(F.col("node").alias("b"), F.col("m").alias("mb")), "b")
+        .select(F.col("ma").alias("x"), F.col("mb").alias("y"))
+    )
+    e = contracted.persist()
     n_e = e.count()
-    for _ in range(max_iter):
+    e0.unpersist()
+    # ---- bounded driver fallback for a SMALL contracted graph ------
+    # Near-dup components are clique-ish, so contraction typically
+    # leaves a residual graph orders of magnitude smaller than the
+    # input (5.9M → ~1k edges at sf0.1); running 2-3 distributed star
+    # rounds on a few hundred rows is then pure stage latency (~6 jobs
+    # a round).  A residual at or under the same measured 250k-edge
+    # threshold the big_round persist gate uses is collected — a
+    # BOUNDED collect, ≤250k pairs of longs ≈ 4 MB, the same class as
+    # the engine's other bounded collects (centroid fetches, shard-id
+    # lists) — and resolved with exact union-find (union-by-min, so
+    # rep = component minimum, identical to the star fixpoint).  Any
+    # larger residual (e.g. path-shaped graphs that contract poorly)
+    # takes the unchanged O(log n) star rounds below: the scale path
+    # stays distributed, gated on the measured count, not a cluster
+    # constant.
+    if 0 < n_e <= 250_000:
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e.collect():
+            ra, rb = _find(r[0]), _find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        e.unpersist()
+        labels_c = e.sparkSession.createDataFrame(
+            [(x, _find(x)) for x in parent],
+            schema="m {t}, rep {t}".format(t=e.schema[0].dataType.simpleString()),
+        )
+        return mins0.join(labels_c, "m", "left").select(
+            "node", F.coalesce("rep", F.col("m")).alias("rep")
+        )
+    for _ in range(max_iter if n_e else 0):
         # large-star: per node u, m = min(N(u) + {u}); connect every
         # STRICTLY LARGER neighbor to m
         # both edge directions come from ONE inline explode, not a
@@ -369,12 +454,25 @@ def connected_components(
         e, n_e = small, n_small
         if converged:
             break
-    labels = (
-        e.select(F.col("b").alias("node"), F.col("a").alias("rep"))
-        .union(e.select(F.col("a").alias("node"), F.col("a").alias("rep")))
+    # star-forest labels of the CONTRACTED graph (covers every
+    # contracted node with at least one surviving edge) ...
+    labels_c = (
+        e.select(F.col("b").alias("m"), F.col("a").alias("rep"))
+        .union(e.select(F.col("a").alias("m"), F.col("a").alias("rep")))
         .distinct()
     )
-    return labels
+    # ... composed through the node→m mapping: rep(u) = rep_c(m(u)),
+    # falling back to m(u) itself when its contracted component is a
+    # singleton (all of its edges collapsed — then m(u) IS the
+    # component minimum, see the contraction note above).  mins0 has
+    # exactly one row per node appearing in `pairs`, preserving the
+    # output contract.  mins0 stays persisted: the returned plan reads
+    # it, and the context cleaner reclaims it when the caller drops
+    # the DataFrame (same lifetime the star forest's checkpoint blocks
+    # already have).
+    return mins0.join(labels_c, "m", "left").select(
+        "node", F.coalesce("rep", F.col("m")).alias("rep")
+    )
 
 
 def components_oracle_sql(pairs_cte: str) -> str:
