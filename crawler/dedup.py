@@ -128,9 +128,24 @@ def bloom_probe(
                     .transform("size")
                     .astype("int64")
                 )
-            cand = cand.sort_values(order, kind="mergesort").drop_duplicates(
-                "url_canon", keep="first"
-            )
+            # first-wins needs the multi-key sort only for keys that
+            # actually collide this wave: a vectorized duplicated()
+            # mask (~30 ms on the mega shard's 1.6M rows) restricts the
+            # mergesort — whose multi-column string comparisons are the
+            # group's dominant cost (~1 s single-task on that shard) —
+            # to the colliding slice.  A wave of unique candidates (the
+            # bench wave; any frontier already deduped upstream) skips
+            # the sort entirely; dup-heavy waves sort only the dups.
+            # Survivor choice is identical: non-colliding rows survive
+            # unconditionally, colliding rows keep the order-minimum.
+            dup_mask = cand["url_canon"].duplicated(keep=False).to_numpy()
+            if dup_mask.any():
+                dups = (
+                    cand[dup_mask]
+                    .sort_values(order, kind="mergesort")
+                    .drop_duplicates("url_canon", keep="first")
+                )
+                cand = pd.concat([cand[~dup_mask], dups])
         if len(cand) == 0:
             if with_indegree and "wave_indegree" not in cand.columns:
                 cand = cand.assign(wave_indegree=pd.Series([], dtype="int64"))
