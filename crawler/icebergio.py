@@ -638,8 +638,25 @@ class IcebergTable:
             )
             # no hint (engine-wide plan-guard rule): the mapping is a
             # LocalRelation of one metadata row per data file, so
-            # Catalyst's size estimate picks the broadcast join itself
-            dfs.append(scan.join(mapping, "__file_path").select(cols))
+            # Catalyst's size estimate picks the broadcast join itself.
+            # LEFT join + assert, not inner (ADVICE r5): the scan reads
+            # exactly the mapping's files, so an unmatched row can only
+            # mean a path-normalization mismatch (an unanticipated URI
+            # scheme/encoding) — under an inner join that would DROP
+            # scanned rows silently; the per-row assert costs one JVM
+            # null check and fails loudly instead.
+            joined = scan.join(mapping, "__file_path", "left")
+            guard = F.assert_true(
+                F.col(part_cols[0]).isNotNull(),
+                F.concat(
+                    F.lit(
+                        f"{self.name}: no manifest partition mapping for "
+                        "scanned file "
+                    ),
+                    F.col("__file_path"),
+                ),
+            )
+            dfs.append(joined.where(guard.isNull()).select(cols))
         if not dfs:
             return spark.createDataFrame([], self.schema)
         out = dfs[0]
@@ -986,7 +1003,12 @@ class IcebergTable:
         files are written once, before the loop."""
         import contextlib
 
-        while True:
+        # generous cap (ADVICE r5): two stagers racing the same slots
+        # normally interleave within a few attempts — hundreds of
+        # consecutive losses means the version source is livelocked or
+        # broken, and an unbounded loop would spin forever writing and
+        # unlinking manifests.  Surfacing the conflict beats hiding it.
+        for _ in range(1000):
             snap_id, v = self._snap_id(), self.latest_version() + 1
             mf = self._write_manifest(
                 snap_id,
@@ -1005,6 +1027,9 @@ class IcebergTable:
             except CommitConflict:
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(mf["manifest_path"])
+        raise CommitConflict(
+            f"{self.name}: {operation} lost 1000 consecutive commit races"
+        )
 
     def append(self, df: DataFrame, base_version: int | None = None) -> int:
         base = self.latest_version() if base_version is None else base_version
@@ -1125,14 +1150,30 @@ class IcebergTable:
                 )
             )
         mf = self._write_manifest(snap_id, v, entries, key_col=key_col)
-        return self._commit(
+        return self._commit_or_unstage(
             "overwrite",
-            [mf],
+            mf,
             base_version,
             snap_id,
             added_files=len(datafiles),
             added_rows=sum(n for _, n, _, _ in datafiles),
         )
+
+    def _commit_or_unstage(self, operation, mf, base, snap_id, **kw) -> int:
+        """Single-writer commit: on CommitConflict the caller does NOT
+        retry (replace_keys/rebase_delta re-derive their entry set from
+        the new base instead), so unlink the staged manifest before
+        re-raising — expire() only collects manifests referenced by
+        dropped snapshots, and a never-committed .avro would otherwise
+        accumulate forever (ADVICE r5)."""
+        import contextlib
+
+        try:
+            return self._commit(operation, [mf], base, snap_id, **kw)
+        except CommitConflict:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(mf["manifest_path"])
+            raise
 
     # ---------------------------------------------------------- maintenance
 
@@ -1313,6 +1354,6 @@ class IcebergTable:
                 )
             )
         mf = self._write_manifest(snap_id, v, entries, key_col=key_col)
-        return self._commit(
-            "append", [mf], v - 1, snap_id, added_files=0, added_rows=0
+        return self._commit_or_unstage(
+            "append", mf, v - 1, snap_id, added_files=0, added_rows=0
         )
