@@ -108,13 +108,40 @@ def get_spark(
         # one tiny shuffle+agg+sort warms the exchange/aggregate/sort
         # codegen and memory-manager init that the session's first real
         # query otherwise pays (~1 s measured across the first two
-        # battery queries); the job itself is ~0.5 s once
+        # battery queries).  The grouping input runs the engine's
+        # hottest expression kernels — md5/xxhash64 hashing, array
+        # transform/min/distinct/intersect, conv, split — through
+        # enough rows that HotSpot compiles the shared intrinsics and
+        # interpreted-expression paths up front: the first md5-heavy
+        # query of a session (minhash signatures, shingle tables)
+        # otherwise pays them mid-query (measured: cold
+        # ngram_jaccard_dups 9.8 s → 7.6 s in fresh back-to-back
+        # sessions, twice).  The job itself is ~2.5 s once per session,
+        # before any caller-visible work.
         from pyspark.sql import functions as _F
 
+        toks = _F.split(
+            _F.lower(_F.concat(_F.lit("a b c d "), _F.col("id").cast("string"))),
+            " ",
+        )
         (
-            spark.range(0, 100_000, 1, n)
-            .groupBy((_F.col("id") % 101).alias("k"))
-            .agg(_F.count("*").alias("c"))
+            spark.range(0, 20_000, 1, n)
+            .select(
+                _F.array_min(
+                    _F.transform(toks, lambda t: _F.md5(_F.concat(_F.lit("0|"), t)))
+                ).alias("m"),
+                _F.array_distinct(
+                    _F.transform(
+                        toks,
+                        lambda w: _F.conv(
+                            _F.substring(_F.md5(w), 1, 15), 16, 10
+                        ).cast("long"),
+                    )
+                ).alias("sh"),
+                _F.xxhash64(_F.concat_ws(",", toks)).alias("x"),
+            )
+            .groupBy((_F.size(_F.array_intersect("sh", "sh")) + _F.col("x") % 101).alias("k"))
+            .agg(_F.count("*").alias("c"), _F.max("m").alias("m"))
             .orderBy(_F.desc("c"), _F.asc("k"))
             .limit(5)
             .collect()
